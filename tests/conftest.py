@@ -8,7 +8,9 @@ benchmarking happens in bench.py, not here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (a tunneled TPU with slow
+# cold init). Tests must run on the virtual CPU mesh, so force-override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
