@@ -1,0 +1,431 @@
+"""Residue Number System contexts and the fused HPS base-conversion/scaler.
+
+Behavioral parity with fhe-math/src/rns/{mod.rs,scaler.rs} (Remark 3.2 of
+eprint 2021/204): given residues x mod q (base `from`), compute
+round(x * num / den) projected into base `to`, treating x as centered
+(values above q/2 are negative). The runtime path is:
+
+1. v = round(sum_i r_i * theta_garner_i / 2^shift)   — estimate of round(x/q)
+2. w = round((sum_i ± r_i*theta_omega_i  -/+ v*theta_gamma) / 2^127)
+3. per output modulus: y_j = sum_i r_i*omega_{j,i} - v*gamma_j + w  (mod q_j)
+
+All precomputation happens host-side with exact Python ints; the device path
+(``RnsScaler.scale``) is vectorized integer jnp on uint32 limbs: 224-bit and
+256-bit accumulators are multiword tuples, Shoup products per output modulus
+accumulate into 128-bit pairs exactly as the reference's u128 loop
+(scaler.rs:316-351).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+from math import gcd
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufhe.ops import u64, zq
+from tpufhe.ops.u64 import U32
+from tpufhe.ops.zq import Modulus
+from tpufhe.utils.misc import inverse
+
+_M64 = (1 << 64) - 1
+_M128 = (1 << 128) - 1
+
+
+class RnsContext:
+    """CRT context over pairwise-coprime moduli (rns/mod.rs:24-147)."""
+
+    def __init__(self, moduli: list[int]):
+        moduli = [int(m) for m in moduli]
+        if not moduli:
+            raise ValueError("The list of moduli is empty")
+        for i, mi in enumerate(moduli):
+            for j, mj in enumerate(moduli):
+                if i != j and gcd(mi, mj) != 1:
+                    raise ValueError("The moduli are not coprime")
+        self.moduli_u64 = moduli
+        self.moduli = [Modulus(m) for m in moduli]
+        self.product = 1
+        for m in moduli:
+            self.product *= m
+        self.q_star = [self.product // m for m in moduli]
+        self.q_tilde = [
+            inverse(self.product // m, m) for m in moduli
+        ]
+        self.q_tilde_shoup = [
+            q.shoup(t) for q, t in zip(self.moduli, self.q_tilde)
+        ]
+        self.garner = [s * t for s, t in zip(self.q_star, self.q_tilde)]
+
+    def modulus(self) -> int:
+        return self.product
+
+    def project(self, a: int) -> list[int]:
+        return [int(a) % m for m in self.moduli_u64]
+
+    def lift(self, rests) -> int:
+        acc = 0
+        for r, g in zip(rests, self.garner):
+            acc += g * int(r)
+        return acc % self.product
+
+    def get_garner(self, i: int) -> int | None:
+        return self.garner[i] if i < len(self.garner) else None
+
+    def __eq__(self, other):
+        return isinstance(other, RnsContext) and self.moduli_u64 == other.moduli_u64
+
+    def __hash__(self):
+        return hash(tuple(self.moduli_u64))
+
+
+@dataclass(frozen=True)
+class ScalingFactor:
+    """Rational scaling factor num/den (rns/scaler.rs:20-47)."""
+
+    numerator: int
+    denominator: int
+
+    def __post_init__(self):
+        assert self.denominator != 0
+
+    @property
+    def is_one(self) -> bool:
+        return self.numerator == self.denominator
+
+    @staticmethod
+    def one() -> "ScalingFactor":
+        return ScalingFactor(1, 1)
+
+
+def _extract_projection_and_theta(
+    ctx: RnsContext, inp: int, num: int, den: int, round_up: bool
+):
+    """gamma = round(num*inp/den) projected into ctx; theta = frac part scaled
+    by 2^127 with a sign (rns/scaler.rs:183-229)."""
+    gamma = (num * inp + (den >> 1)) // den
+    projected = ctx.project(gamma)
+
+    theta = (num * inp) % den
+    theta_sign = False
+    if den > 1:
+        if den & 1 == 1:
+            if theta > (den >> 1):
+                theta_sign = True
+                theta = den - theta
+        else:
+            if theta >= (den >> 1):
+                theta_sign = True
+                theta = den - theta
+    if round_up:
+        if theta_sign:
+            theta = (theta << 127) // den
+        else:
+            theta = ((theta << 127) + den - 1) // den
+    elif theta_sign:
+        theta = ((theta << 127) + den - 1) // den
+    else:
+        theta = (theta << 127) // den
+    return projected, theta & _M64, theta >> 64, theta_sign
+
+
+def _u64_pair_col(vals) -> tuple:
+    """list of ints -> (k, 1) u64-pair jnp arrays (broadcast over coeffs)."""
+    arr = np.array([int(v) for v in vals], dtype=np.uint64).reshape(-1, 1)
+    return u64.to_pair(arr)
+
+
+def _u128_limbs(x: int) -> list[np.uint32]:
+    return [np.uint32((int(x) >> (32 * i)) & 0xFFFFFFFF) for i in range(4)]
+
+
+class RnsScaler:
+    """Fused RNS base conversion + rational scaling (rns/scaler.rs:52-352)."""
+
+    def __init__(self, from_ctx: RnsContext, to_ctx: RnsContext, factor: ScalingFactor):
+        self.from_ctx = from_ctx
+        self.to_ctx = to_ctx
+        self.factor = factor
+        num, den = factor.numerator, factor.denominator
+
+        gamma, tg_lo, tg_hi, tg_sign = _extract_projection_and_theta(
+            to_ctx, from_ctx.product, num, den, False
+        )
+        self.gamma = gamma
+        self.gamma_shoup = [q.shoup(g) for q, g in zip(to_ctx.moduli, gamma)]
+        self.theta_gamma = tg_lo | (tg_hi << 64)
+        self.theta_gamma_sign = tg_sign
+
+        k_in = len(from_ctx.moduli)
+        k_out = len(to_ctx.moduli)
+        omegas = []
+        self.theta_omega = []
+        self.theta_omega_sign = []
+        for g in from_ctx.garner:
+            proj, to_lo, to_hi, to_sign = _extract_projection_and_theta(
+                to_ctx, g, num, den, True
+            )
+            omegas.append(proj)
+            self.theta_omega.append(to_lo | (to_hi << 64))
+            self.theta_omega_sign.append(to_sign)
+        # omega[j][i] = reduce(omegas[i][j]) per output modulus j
+        self.omega = [
+            [to_ctx.moduli[j].reduce(omegas[i][j]) for i in range(k_in)]
+            for j in range(k_out)
+        ]
+        self.omega_shoup = [
+            [to_ctx.moduli[j].shoup(self.omega[j][i]) for i in range(k_in)]
+            for j in range(k_out)
+        ]
+
+        # shift so that sum of scaled theta_garner fits in 192 bits
+        # (scaler.rs:130-142)
+        def next_pow2_log(x: int) -> int:
+            return (x - 1).bit_length() if x > 1 else 0
+
+        self.theta_garner_shift = min(
+            min(
+                192 - 1 - next_pow2_log(qi * k_in)
+                for qi in from_ctx.moduli_u64
+            ),
+            127,
+        )
+        self.theta_garner = [
+            ((g << self.theta_garner_shift) + (from_ctx.product >> 1))
+            // from_ctx.product
+            for g in from_ctx.garner
+        ]
+
+        self._k_in = k_in
+        self._k_out = k_out
+
+    # ------------------------------------------------------------------
+    # Exact host implementation (golden reference; also used in tests)
+    # ------------------------------------------------------------------
+
+    def scale_host(self, rests, size: int | None = None, starting_index: int = 0):
+        """Exact Python-int implementation mirroring scaler.rs:249-352."""
+        k_in = self._k_in
+        assert len(rests) == k_in
+        size = self._k_out - starting_index if size is None else size
+
+        sum_tg = 0
+        for tg, r in zip(self.theta_garner, rests):
+            sum_tg = (sum_tg + int(r) * tg) % (1 << 256)
+        sum_tg >>= self.theta_garner_shift - 1
+        # div_ceil(2) of the truncated u128
+        s = sum_tg & _M128
+        v = (s + 1) // 2 if s % 2 else s // 2
+
+        w_sign = False
+        w = 0
+        if not self.factor.is_one:
+            sum_to = 0
+            for to, sign, r in zip(
+                self.theta_omega, self.theta_omega_sign, rests
+            ):
+                prod = int(r) * to
+                sum_to = (sum_to - prod if sign else sum_to + prod) % (1 << 256)
+            v_tg = (v * self.theta_gamma) % (1 << 256)
+            if self.theta_gamma_sign:
+                sum_to = (sum_to + v_tg) % (1 << 256)
+            else:
+                sum_to = (sum_to - v_tg) % (1 << 256)
+            w_sign = (sum_to >> 191) > 0
+            if w_sign:
+                w = ((((1 << 256) - 1 - sum_to) >> 126) & _M128) + 1
+                w //= 2
+            else:
+                w = (sum_to >> 126) & _M128
+                w = (w + 1) // 2 if w % 2 else w // 2
+
+        out = []
+        for idx in range(size):
+            j = starting_index + idx
+            qj = self.to_ctx.moduli[j]
+            p = qj.p
+            v_red = v % p
+            # lazy_mul_shoup(v_red, gamma_j) exact value in [0, 2p)
+            y = 2 * p - _lazy_shoup_host(v_red, self.gamma[j], self.gamma_shoup[j], p)
+            if not self.factor.is_one:
+                w_lazy = _lazy_barrett_host(w, p)
+                y += (2 * p - w_lazy) if w_sign else w_lazy
+            for i in range(self._k_in):
+                y += _lazy_shoup_host(
+                    int(rests[i]), self.omega[j][i], self.omega_shoup[j][i], p
+                )
+            out.append(y % p)
+        return out
+
+    # ------------------------------------------------------------------
+    # Device implementation
+    # ------------------------------------------------------------------
+
+    @cached_property
+    def _device_consts(self):
+        c = {}
+        c["tg_limbs"] = [
+            [jnp.asarray(l) for l in _u128_limbs(tg)] for tg in self.theta_garner
+        ]
+        c["to_limbs"] = [
+            [jnp.asarray(l) for l in _u128_limbs(to)] for to in self.theta_omega
+        ]
+        c["tgamma_limbs"] = [jnp.asarray(l) for l in _u128_limbs(self.theta_gamma)]
+        c["gamma"] = _u64_pair_col(self.gamma)  # (k_out, 1) pairs
+        c["gamma_shoup"] = _u64_pair_col(self.gamma_shoup)
+        k_out, k_in = self._k_out, self._k_in
+        omega_cols = []
+        for i in range(k_in):
+            omega_cols.append(
+                (
+                    _u64_pair_col([self.omega[j][i] for j in range(k_out)]),
+                    _u64_pair_col([self.omega_shoup[j][i] for j in range(k_out)]),
+                )
+            )
+        c["omega_cols"] = omega_cols
+        p_arr = np.array(self.to_ctx.moduli_u64, dtype=np.uint64).reshape(-1, 1)
+        c["p"] = u64.to_pair(p_arr)
+        c["p2"] = u64.to_pair(2 * p_arr)
+        c["barrett_lo"] = _u64_pair_col([q.barrett_lo for q in self.to_ctx.moduli])
+        c["barrett_hi"] = _u64_pair_col([q.barrett_hi for q in self.to_ctx.moduli])
+        return c
+
+    def scale(self, rests, starting_index: int = 0, size: int | None = None):
+        """Device scaling.
+
+        rests: (k_in, 2, N) uint32 (residues of each coefficient).
+        Returns (size, 2, N) uint32 — residues in the `to` base starting at
+        `starting_index`.
+        """
+        size = self._k_out - starting_index if size is None else size
+        k_in = self._k_in
+        assert rests.shape[-3] == k_in
+        N = rests.shape[-1]
+        c = self._device_consts
+
+        r_pairs = [
+            (rests[..., i, 0, :], rests[..., i, 1, :]) for i in range(k_in)
+        ]
+        zero = jnp.zeros_like(r_pairs[0][0])
+
+        # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
+        acc = tuple(zero for _ in range(7))  # 224-bit
+        for r, tg in zip(r_pairs, c["tg_limbs"]):
+            acc = u64.mp_mul_pair(acc, r, (tg[0], tg[1]))
+            hi_part = u64.mp_mul_pair(
+                tuple(zero for _ in range(5)), r, (tg[2], tg[3])
+            )
+            acc = u64.mp_add(acc, (zero, zero) + hi_part)
+        acc = u64.mp_shr(acc, self.theta_garner_shift - 1)
+        s4 = acc[:4]  # truncate to u128 (as_u128)
+        half = u64.mp_shr(s4, 1)
+        v = u64.mp_add(half, (s4[0] & U32(1), zero, zero, zero))  # div_ceil(2)
+
+        # --- step 2: w (only when the factor is not one) ---
+        w_sign = None
+        w_pairs = None
+        if not self.factor.is_one:
+            pos = tuple(zero for _ in range(8))
+            neg = tuple(zero for _ in range(8))
+            for r, to, sign in zip(r_pairs, c["to_limbs"], self.theta_omega_sign):
+                tgt = neg if sign else pos
+                tgt = u64.mp_mul_pair(tgt, r, (to[0], to[1]))
+                hi_part = u64.mp_mul_pair(
+                    tuple(zero for _ in range(6)), r, (to[2], to[3])
+                )
+                tgt = u64.mp_add(tgt, (zero, zero) + hi_part)
+                if sign:
+                    neg = tgt
+                else:
+                    pos = tgt
+            # v * theta_gamma: 128x128 -> 256 bits
+            tgm = c["tgamma_limbs"]
+            v_tg = tuple(zero for _ in range(8))
+            v_tg = u64.mp_mul_pair(v_tg, (v[0], v[1]), (tgm[0], tgm[1]))
+            t = u64.mp_mul_pair(tuple(zero for _ in range(6)), (v[0], v[1]), (tgm[2], tgm[3]))
+            v_tg = u64.mp_add(v_tg, (zero, zero) + t)
+            t = u64.mp_mul_pair(tuple(zero for _ in range(6)), (v[2], v[3]), (tgm[0], tgm[1]))
+            v_tg = u64.mp_add(v_tg, (zero, zero) + t)
+            t = u64.mp_mul_pair(tuple(zero for _ in range(4)), (v[2], v[3]), (tgm[2], tgm[3]))
+            v_tg = u64.mp_add(v_tg, (zero, zero, zero, zero) + t)
+            if self.theta_gamma_sign:
+                pos = u64.mp_add(pos, v_tg)
+            else:
+                neg = u64.mp_add(neg, v_tg)
+            s = u64.mp_sub(pos, neg)  # wrapping 256-bit, 2's complement
+            w_sign = ((s[5] >> U32(31)) | s[6] | s[7]) != U32(0)
+            # negative branch: w = (((~s) >> 126).as_u128() + 1) / 2
+            s_not = tuple(~x for x in s)
+            neg_shift = u64.mp_shr(s_not, 126)[:4]
+            neg_p1 = u64.mp_add(neg_shift, (jnp.ones_like(zero), zero, zero, zero))
+            w_neg = u64.mp_shr(neg_p1, 1)
+            # positive branch: w = ((s >> 126).as_u128()).div_ceil(2)
+            pos_shift = u64.mp_shr(s, 126)[:4]
+            pos_half = u64.mp_shr(pos_shift, 1)
+            w_pos = u64.mp_add(pos_half, (pos_shift[0] & U32(1), zero, zero, zero))
+            w_pairs = tuple(
+                jnp.where(w_sign, a, b) for a, b in zip(w_neg, w_pos)
+            )
+
+        # --- step 3: per-output-modulus accumulation in u128 ---
+        # constants are (k_out, 1) pairs; slice the active window
+        sl = slice(starting_index, starting_index + size)
+
+        def slc(pair):
+            return pair[0][sl], pair[1][sl]
+
+        p_s = slc(c["p"])
+        p2_s = slc(c["p2"])
+        bl_s = slc(c["barrett_lo"])
+        bh_s = slc(c["barrett_hi"])
+
+        # v mod q_j for each j: reduce_u128 of the 4-limb v, (..., 1, N) limbs
+        v_b = tuple(l[..., None, :] for l in v)
+        v_red = zq.reduce_u128(v_b, bl_s, bh_s, p_s)  # (..., size, N) pairs
+
+        t0 = zq.lazy_mul_shoup(v_red, slc(c["gamma"]), slc(c["gamma_shoup"]), p_s)
+        y = u64.sub64(p2_s, t0)  # 2p - t, in [0, 2p]
+        zero_y = jnp.zeros_like(y[0])
+        acc128 = (y[0], y[1], zero_y, zero_y)
+
+        if not self.factor.is_one:
+            w_b = tuple(l[..., None, :] for l in w_pairs)
+            w_lazy = zq.lazy_reduce_u128(w_b, bl_s, bh_s, p_s)  # < 2p
+            neg_w = u64.sub64(p2_s, w_lazy)
+            ws = w_sign[..., None, :]
+            term = (
+                jnp.where(ws, neg_w[0], w_lazy[0]),
+                jnp.where(ws, neg_w[1], w_lazy[1]),
+            )
+            acc128 = _acc128_add64(acc128, term)
+
+        for i in range(k_in):
+            om, oms = c["omega_cols"][i]
+            r = (r_pairs[i][0][..., None, :], r_pairs[i][1][..., None, :])
+            term = zq.lazy_mul_shoup(r, slc(om), slc(oms), p_s)
+            acc128 = _acc128_add64(acc128, term)
+
+        out = zq.reduce_u128(acc128, bl_s, bh_s, p_s)
+        return jnp.stack([out[0], out[1]], axis=-2)
+
+
+def _acc128_add64(acc, term):
+    """acc(4-limb) += term(u64 pair), carries propagated."""
+    zero = jnp.zeros_like(acc[0])
+    return u64.mp_add(acc, (term[0] + zero, term[1] + zero, zero, zero))
+
+
+def _lazy_shoup_host(a: int, b: int, b_shoup: int, p: int) -> int:
+    q = (a * b_shoup) >> 64
+    return (a * b - q * p) & _M64
+
+
+def _lazy_barrett_host(a: int, p: int) -> int:
+    """Exact value of lazy_reduce_u128 (zq/mod.rs:693-707) for a < 2^128."""
+    barrett = (1 << 128) // p
+    b_lo, b_hi = barrett & _M64, barrett >> 64
+    a_lo, a_hi = a & _M64, a >> 64
+    q = ((a_lo * b_hi + a_hi * b_lo + ((a_lo * b_lo) >> 64)) >> 64) + a_hi * b_hi
+    return (a - q * p) & _M64
