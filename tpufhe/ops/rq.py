@@ -1,0 +1,842 @@
+"""Polynomials in R_q[x] = Z_q[x]/(x^N + 1) with RNS coefficients.
+
+Behavioral parity with fhe-math/src/rq/ (Context, Poly with
+PowerBasis/Ntt/NttShoup representations, Galois substitution, modulus
+switch-down, Scaler/Switcher, dot products), redesigned TPU-first:
+
+- Coefficients live in a single uint32 array shaped (..., k, 2, N): leading
+  batch dims give batch-of-ciphertexts vectorization for free, k is the RNS
+  limb axis (shardable over a mesh), plane axis = (lo, hi) 32-bit halves.
+- Polys are immutable pytrees; representation is a static tag checked at
+  trace time (the reference's typestate, rq/mod.rs:50-84).
+- Per-context device programs are jit-compiled once and cached (twiddles and
+  Barrett/Shoup constants embedded as XLA constants).
+- There is no constant-time/variable-time split: XLA integer code is
+  data-oblivious, so everything is constant-time. `lazy` polys (coefficients
+  in [0, 4p), the key-switch decomposition trick, rq/mod.rs:518-540) carry a
+  static flag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufhe.ops import ntt as ntt_mod
+from tpufhe.ops import u64, zq
+from tpufhe.ops.rns import RnsContext, RnsScaler, ScalingFactor
+from tpufhe.ops.u64 import U32
+from tpufhe.ops.zq import Modulus
+from tpufhe.utils.rngs import expand_seed
+from tpufhe.utils.sampling import sample_vec_cbd
+
+POWER_BASIS = "power"
+NTT = "ntt"
+NTT_SHOUP = "ntt_shoup"
+
+
+def pack_u64(mat: np.ndarray) -> np.ndarray:
+    """uint64 array (..., N) -> uint32 (..., 2, N)."""
+    mat = np.asarray(mat, dtype=np.uint64)
+    lo = (mat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (mat >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=-2)
+
+
+def unpack_u64(arr) -> np.ndarray:
+    """uint32 (..., 2, N) -> uint64 (..., N)."""
+    arr = np.asarray(arr)
+    return arr[..., 0, :].astype(np.uint64) | (
+        arr[..., 1, :].astype(np.uint64) << np.uint64(32)
+    )
+
+
+def _pairs_col(vals) -> tuple:
+    """ints -> (k,) u64-pair device arrays."""
+    arr = np.array([int(v) for v in vals], dtype=np.uint64)
+    return u64.to_pair(arr)
+
+
+_CONTEXT_CACHE: dict = {}
+
+
+class Context:
+    """Modulus-chain node: per-limb Modulus + NttOperators + RNS context.
+
+    Mirrors rq/context.rs:9-156. Cached globally by (moduli, degree).
+    """
+
+    def __new__(cls, moduli, degree: int):
+        key = (tuple(int(m) for m in moduli), int(degree))
+        if key in _CONTEXT_CACHE:
+            return _CONTEXT_CACHE[key]
+        self = super().__new__(cls)
+        _CONTEXT_CACHE[key] = self
+        self._init(key[0], key[1])
+        return self
+
+    def _init(self, moduli, degree):
+        if degree < 8 or (degree & (degree - 1)) != 0:
+            raise ValueError("The degree is not a power of two larger or equal to 8")
+        self.moduli = moduli
+        self.degree = degree
+        self.rns = RnsContext(list(moduli))
+        self.q = [Modulus(m) for m in moduli]
+        self.ops = []
+        for qi in self.q:
+            op = ntt_mod.NttOperator.new(qi, degree)
+            if op is None:
+                raise ValueError("Impossible to construct a Ntt operator")
+            self.ops.append(op)
+        self.bitrev = ntt_mod.bitrev_indices(degree)
+        q_last = moduli[-1]
+        self.inv_last_qi_mod_qj = []
+        self.inv_last_qi_mod_qj_shoup = []
+        for qi in self.q[:-1]:
+            inv = qi.inv(qi.reduce(q_last))
+            self.inv_last_qi_mod_qj.append(inv)
+            self.inv_last_qi_mod_qj_shoup.append(qi.shoup(inv))
+        self.next_context = (
+            Context(moduli[:-1], degree) if len(moduli) >= 2 else None
+        )
+        self._dev = None
+
+    # -- chain navigation (rq/context.rs:120-156) --
+
+    def niterations_to(self, other: "Context") -> int:
+        if other is self:
+            return 0
+        n = 0
+        cur = self
+        while cur.next_context is not None:
+            n += 1
+            cur = cur.next_context
+            if cur is other:
+                return n
+        raise ValueError("Invalid context (not in chain)")
+
+    def context_at_level(self, i: int) -> "Context":
+        cur = self
+        for _ in range(i):
+            cur = cur.next_context
+            if cur is None:
+                raise ValueError("No context at the specified level")
+        return cur
+
+    def modulus(self) -> int:
+        return self.rns.product
+
+    @property
+    def k(self) -> int:
+        return len(self.moduli)
+
+    @property
+    def dev(self):
+        """Device constants (built lazily, numpy-backed)."""
+        if self._dev is None:
+            self._dev = _DeviceConsts(self)
+        return self._dev
+
+    def __repr__(self):
+        return f"Context(moduli={self.moduli}, degree={self.degree})"
+
+    def __hash__(self):
+        return hash((self.moduli, self.degree))
+
+    def __eq__(self, other):
+        return self is other
+
+
+class _DeviceConsts:
+    """Per-context device constant tables."""
+
+    def __init__(self, ctx: Context):
+        k, n = ctx.k, ctx.degree
+        p_arr = np.array(ctx.moduli, dtype=np.uint64)
+        self.p = u64.to_pair(p_arr)  # (k,) pairs
+        self.p2 = u64.to_pair(2 * p_arr)
+        self.barrett_lo = _pairs_col([q.barrett_lo for q in ctx.q])
+        self.barrett_hi = _pairs_col([q.barrett_hi for q in ctx.q])
+        self.omegas = np.stack([pack_u64(o.omegas) for o in ctx.ops])  # (k,2,n)
+        self.omegas_shoup = np.stack([pack_u64(o.omegas_shoup) for o in ctx.ops])
+        self.zetas_inv = np.stack([pack_u64(o.zetas_inv) for o in ctx.ops])
+        self.zetas_inv_shoup = np.stack(
+            [pack_u64(o.zetas_inv_shoup) for o in ctx.ops]
+        )
+        self.ninv = _pairs_col([o.size_inv for o in ctx.ops])
+        self.ninv_shoup = _pairs_col([o.size_inv_shoup for o in ctx.ops])
+        if k >= 2:
+            self.inv_last = _pairs_col(ctx.inv_last_qi_mod_qj)
+            self.inv_last_shoup = _pairs_col(ctx.inv_last_qi_mod_qj_shoup)
+
+
+# ---------------------------------------------------------------------------
+# jitted per-context kernels
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _fwd_fn(ctx: Context, lazy: bool):
+    d = ctx.dev
+
+    @jax.jit
+    def f(coeffs):
+        return ntt_mod.forward(coeffs, d.omegas, d.omegas_shoup, d.p, d.p2, lazy=lazy)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _bwd_fn(ctx: Context):
+    d = ctx.dev
+
+    @jax.jit
+    def f(coeffs):
+        return ntt_mod.backward(
+            coeffs, d.zetas_inv, d.zetas_inv_shoup, d.ninv, d.ninv_shoup, d.p, d.p2
+        )
+
+    return f
+
+
+def _exp2(pair):
+    return pair[0][..., None], pair[1][..., None]
+
+
+@lru_cache(maxsize=None)
+def _binop_fn(ctx: Context, op: str):
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    @jax.jit
+    def f(a, b):
+        pa = (a[..., 0, :], a[..., 1, :])
+        pb = (b[..., 0, :], b[..., 1, :])
+        if op == "add":
+            r = zq.add_mod(pa, pb, p)
+        elif op == "sub":
+            r = zq.sub_mod(pa, pb, p)
+        elif op == "mul":
+            r = zq.mul_mod(pa, pb, bl, bh, p)
+        else:
+            raise ValueError(op)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _mul_shoup_fn(ctx: Context, reduce_from_lazy: bool):
+    """a (possibly lazy, any u64) * b (NttShoup) -> fully reduced product."""
+    d = ctx.dev
+    p = _exp2(d.p)
+
+    @jax.jit
+    def f(a, b, b_shoup):
+        pa = (a[..., 0, :], a[..., 1, :])
+        pb = (b[..., 0, :], b[..., 1, :])
+        pbs = (b_shoup[..., 0, :], b_shoup[..., 1, :])
+        r = zq.mul_shoup(pa, pb, pbs, p)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _neg_fn(ctx: Context):
+    d = ctx.dev
+    p = _exp2(d.p)
+
+    @jax.jit
+    def f(a):
+        pa = (a[..., 0, :], a[..., 1, :])
+        r = zq.neg_mod(pa, p)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _shoup_of_fn(ctx: Context):
+    """Compute Shoup duplicates floor(a * 2^64 / p) for a < p on device.
+
+    Let q, r be quotient/remainder of a*2^64 by p. The lazy Barrett reduction
+    of the 128-bit value a*2^64 yields r' = a*2^64 - q'*p in [0, 2p) with
+    q = q' + (r' >= p). Since q'*p = a*2^64 - r' and p is odd (NTT prime),
+    q' mod 2^64 = (-r' mod 2^64) * p^{-1} mod 2^64; q < 2^64 because a < p.
+    """
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    from tpufhe.utils.misc import inverse
+
+    p_inv_pair = _exp2(_pairs_col([inverse(m, 1 << 64) for m in ctx.moduli]))
+
+    @jax.jit
+    def f(a):
+        pa = (a[..., 0, :], a[..., 1, :])
+        zero = jnp.zeros_like(pa[0])
+        a128 = (zero, zero, pa[0], pa[1])  # a * 2^64
+        r_lazy = zq.lazy_reduce_u128(a128, bl, bh, p)
+        neg_r = u64.sub64((zero, zero), r_lazy)
+        q_prime = u64.mul64_lo(neg_r, p_inv_pair)
+        corr = u64.ge64(r_lazy, p).astype(U32)
+        q = u64.add64(q_prime, (corr, zero))
+        return jnp.stack([q[0], q[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _scalar_mul_fn(ctx: Context):
+    """Per-limb scalar Shoup multiply (zq scalar_mul_vec, zq/mod.rs:349-355)."""
+    d = ctx.dev
+    p = _exp2(d.p)
+
+    @jax.jit
+    def f(a, s, s_shoup):
+        # s, s_shoup: (k,) pairs expanded to (k, 1)
+        pa = (a[..., 0, :], a[..., 1, :])
+        r = zq.mul_shoup(pa, _exp2(s), _exp2(s_shoup), p)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _reduce_u64_fn(ctx: Context):
+    """Reduce arbitrary u64 values mod each q_i (for conversions)."""
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    @jax.jit
+    def f(a):
+        pa = (a[..., 0, :], a[..., 1, :])
+        r = zq.reduce_u64(pa, bl, bh, p)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _reduce_i64_fn(ctx: Context):
+    """Reduce signed 64-bit values (two's complement pairs) mod each q_i."""
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    @jax.jit
+    def f(a):
+        return jnp.stack(
+            list(zq.reduce_i64(a[..., 0, :], a[..., 1, :], bl, bh, p)), axis=-2
+        )
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _lazy_reduce_fn(ctx: Context):
+    """Lazy-reduce arbitrary u64 values into [0, 2p) per limb."""
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    @jax.jit
+    def f(a):
+        pa = (a[..., 0, :], a[..., 1, :])
+        r = zq.lazy_reduce(pa, bl, bh, p)
+        return jnp.stack([r[0], r[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _switch_down_fn(ctx: Context):
+    """Modulus switch-down: divide+round by q_last, drop the last limb.
+
+    Algorithm 2 of eprint 2018/931 exactly as rq/mod.rs:390-449.
+    """
+    assert ctx.k >= 2
+    d = ctx.dev
+    q_last = ctx.moduli[-1]
+    q_last_div_2 = q_last // 2
+    km1 = ctx.k - 1
+    # per remaining limb constants
+    p_rest = (d.p[0][:km1], d.p[1][:km1])
+    p_rest2 = _exp2(p_rest)
+    bl = (_exp2((d.barrett_lo[0][:km1], d.barrett_lo[1][:km1])))
+    bh = (_exp2((d.barrett_hi[0][:km1], d.barrett_hi[1][:km1])))
+    inv = _exp2(d.inv_last)
+    inv_shoup = _exp2(d.inv_last_shoup)
+    # q_i - reduce(q_last/2, q_i) per limb
+    qld2_mod = _pairs_col(
+        [q.p - (q_last_div_2 % q.p) for q in ctx.q[:-1]]
+    )
+    qld2_mod = _exp2(qld2_mod)
+    p3 = _pairs_col([3 * q.p for q in ctx.q[:-1]])
+    p3 = _exp2(p3)
+    q_last_pair = _exp2(_pairs_col([q_last]))
+    qld2_pair = _exp2(_pairs_col([q_last_div_2]))
+
+    @jax.jit
+    def f(coeffs):
+        rest = coeffs[..., :km1, :, :]
+        last = coeffs[..., km1:, :, :]
+        p_last = (last[..., 0, :], last[..., 1, :])
+        # add (q_last)/2 for rounding
+        p_last = zq.add_mod(p_last, qld2_pair, q_last_pair)
+        # per remaining limb: tmp = lazy_reduce(x_last) + (q_i - q_last/2 mod q_i)
+        tmp = zq.lazy_reduce(p_last, bl, bh, p_rest2)  # broadcast (k-1, N)
+        tmp = u64.add64(tmp, qld2_mod)  # < 3 q_i
+        x = (rest[..., 0, :], rest[..., 1, :])
+        x = u64.add64(x, u64.sub64(p3, tmp))  # < 4 q_i
+        x = zq.mul_shoup(x, inv, inv_shoup, p_rest2)
+        return jnp.stack([x[0], x[1]], axis=-2)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _lazy_const_ntt_fn(ctx: Context):
+    """Lift one row of u64 decomposition digits into a lazy-NTT poly.
+
+    Mirrors create_constant_ntt_polynomial_with_lazy_coefficients
+    (rq/mod.rs:518-540): broadcast digits to all limbs, lazy Barrett to
+    [0, 2p), lazy forward NTT to [0, 4p).
+    """
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    @jax.jit
+    def f(digits):
+        # digits: (..., 2, N) u32 -> broadcast over limb axis
+        pa = (digits[..., None, 0, :], digits[..., None, 1, :])
+        r = zq.lazy_reduce(pa, bl, bh, p)
+        arr = jnp.stack([r[0], r[1]], axis=-2)
+        return ntt_mod.forward(arr, d.omegas, d.omegas_shoup, d.p, d.p2, lazy=True)
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Poly
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class Poly:
+    """An RNS polynomial. Immutable; ops return new polys.
+
+    coeffs: (..., k, 2, N) uint32. `representation` and `lazy` are static.
+    """
+
+    ctx: Context
+    representation: str
+    coeffs: jnp.ndarray
+    coeffs_shoup: jnp.ndarray | None = None
+    lazy: bool = False
+
+    def tree_flatten(self):
+        children = (self.coeffs, self.coeffs_shoup)
+        aux = (self.ctx, self.representation, self.lazy)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ctx, representation, lazy = aux
+        coeffs, coeffs_shoup = children
+        return cls(ctx, representation, coeffs, coeffs_shoup, lazy)
+
+    # -- constructors --
+
+    @staticmethod
+    def zero(ctx: Context, representation: str = POWER_BASIS, batch=()) -> "Poly":
+        shape = tuple(batch) + (ctx.k, 2, ctx.degree)
+        coeffs = jnp.zeros(shape, dtype=jnp.uint32)
+        shoup = coeffs if representation == NTT_SHOUP else None
+        return Poly(ctx, representation, coeffs, shoup)
+
+    @staticmethod
+    def from_u64_matrix(
+        mat, ctx: Context, representation: str = POWER_BASIS
+    ) -> "Poly":
+        """mat: (..., k, N) uint64 canonical residues."""
+        p = Poly(ctx, representation if representation != NTT_SHOUP else NTT,
+                 jnp.asarray(pack_u64(mat)))
+        if representation == NTT_SHOUP:
+            p = p.compute_shoup()
+        return p
+
+    @staticmethod
+    def random(ctx: Context, rng, representation: str = POWER_BASIS) -> "Poly":
+        """Uniform polynomial, limbs sampled row by row (rq/mod.rs:226-237)."""
+        rows = [q.random_vec(ctx.degree, rng) for q in ctx.q]
+        return Poly.from_u64_matrix(np.stack(rows), ctx, representation)
+
+    @staticmethod
+    def random_from_seed(
+        ctx: Context, seed: bytes, representation: str = NTT
+    ) -> "Poly":
+        """Deterministic expansion: ChaCha8(SHA-256(seed)) (rq/mod.rs:241-257)."""
+        prng = expand_seed(seed)
+        rows = [q.random_vec(ctx.degree, prng) for q in ctx.q]
+        return Poly.from_u64_matrix(np.stack(rows), ctx, representation)
+
+    @staticmethod
+    def small(
+        ctx: Context, variance: int, rng, representation: str = POWER_BASIS
+    ) -> "Poly":
+        """Centered-binomial small polynomial (rq/mod.rs:263-285)."""
+        coeffs = sample_vec_cbd(ctx.degree, variance, rng)
+        p = Poly.from_i64_coeffs(coeffs, ctx)
+        if representation == NTT:
+            p = p.into_ntt()
+        elif representation == NTT_SHOUP:
+            p = p.into_ntt().compute_shoup().with_representation(NTT_SHOUP)
+        return p
+
+    @staticmethod
+    def from_i64_coeffs(coeffs, ctx: Context) -> "Poly":
+        """Signed coefficients, centered-reduced into every limb
+        (rq/convert.rs TryConvertFrom<&[i64]>)."""
+        v = np.zeros(ctx.degree, dtype=np.int64)
+        v[: len(coeffs)] = np.asarray(coeffs, dtype=np.int64)
+        u = v.astype(np.uint64)
+        lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (u >> np.uint64(32)).astype(np.uint32)
+        arr = np.broadcast_to(
+            np.stack([lo, hi], axis=0), (ctx.k, 2, ctx.degree)
+        )
+        return Poly(ctx, POWER_BASIS, _reduce_i64_fn(ctx)(jnp.asarray(arr)))
+
+    @staticmethod
+    def from_u64_coeffs(coeffs, ctx: Context) -> "Poly":
+        """<= degree unsigned coefficients, reduced into every limb."""
+        v = np.zeros(ctx.degree, dtype=np.uint64)
+        cs = np.asarray(coeffs, dtype=np.uint64)
+        v[: len(cs)] = cs
+        arr = np.broadcast_to(pack_u64(v), (ctx.k, 2, ctx.degree))
+        return Poly(ctx, POWER_BASIS, _reduce_u64_fn(ctx)(jnp.asarray(arr)))
+
+    @staticmethod
+    def from_bigint_coeffs(coeffs, ctx: Context) -> "Poly":
+        """Arbitrary-precision coefficients projected through the RNS."""
+        rows = np.zeros((ctx.k, ctx.degree), dtype=np.uint64)
+        for j, c in enumerate(coeffs):
+            c = int(c)
+            for i, m in enumerate(ctx.moduli):
+                rows[i, j] = c % m
+        return Poly.from_u64_matrix(rows, ctx)
+
+    # -- representation moves --
+
+    def with_representation(self, representation: str) -> "Poly":
+        return replace(self, representation=representation)
+
+    def compute_shoup(self) -> "Poly":
+        shoup = _shoup_of_fn(self.ctx)(self.coeffs)
+        return replace(self, coeffs_shoup=shoup)
+
+    def into_ntt(self, lazy: bool = False) -> "Poly":
+        assert self.representation == POWER_BASIS
+        out = _fwd_fn(self.ctx, lazy)(self.coeffs)
+        return Poly(self.ctx, NTT, out, lazy=lazy)
+
+    def into_ntt_shoup(self) -> "Poly":
+        if self.representation == POWER_BASIS:
+            p = self.into_ntt()
+        else:
+            assert self.representation == NTT and not self.lazy
+            p = self
+        p = p.compute_shoup()
+        return p.with_representation(NTT_SHOUP)
+
+    def into_power_basis(self) -> "Poly":
+        if self.representation == POWER_BASIS:
+            return self
+        assert not self.lazy
+        out = _bwd_fn(self.ctx)(self.coeffs)
+        return Poly(self.ctx, POWER_BASIS, out)
+
+    def into_ntt_from_shoup(self) -> "Poly":
+        assert self.representation == NTT_SHOUP
+        return Poly(self.ctx, NTT, self.coeffs)
+
+    # -- arithmetic --
+
+    def _check(self, other: "Poly"):
+        assert self.ctx is other.ctx, "Incompatible contexts"
+        assert self.representation == other.representation
+
+    def __add__(self, other: "Poly") -> "Poly":
+        self._check(other)
+        assert not (self.lazy or other.lazy)
+        out = _binop_fn(self.ctx, "add")(self.coeffs, other.coeffs)
+        return Poly(self.ctx, self.representation, out)
+
+    def __sub__(self, other: "Poly") -> "Poly":
+        self._check(other)
+        assert not (self.lazy or other.lazy)
+        out = _binop_fn(self.ctx, "sub")(self.coeffs, other.coeffs)
+        return Poly(self.ctx, self.representation, out)
+
+    def __neg__(self) -> "Poly":
+        assert not self.lazy
+        out = _neg_fn(self.ctx)(self.coeffs)
+        return Poly(self.ctx, self.representation, out)
+
+    def __mul__(self, other: "Poly") -> "Poly":
+        if other.representation == NTT_SHOUP:
+            # a may be lazy (any u64 value): Shoup mul handles it exactly
+            out = _mul_shoup_fn(self.ctx, self.lazy)(
+                self.coeffs, other.coeffs, other.coeffs_shoup
+            )
+            return Poly(self.ctx, NTT, out)
+        assert self.representation == NTT and other.representation == NTT
+        assert not (self.lazy or other.lazy)
+        out = _binop_fn(self.ctx, "mul")(self.coeffs, other.coeffs)
+        return Poly(self.ctx, NTT, out)
+
+    def scalar_mul(self, scalar: int) -> "Poly":
+        """Multiply by a big integer projected through the RNS
+        (rq/ops.rs:297-352)."""
+        s = [int(scalar) % m for m in self.ctx.moduli]
+        s_shoup = [q.shoup(v) for q, v in zip(self.ctx.q, s)]
+        out = _scalar_mul_fn(self.ctx)(
+            self.coeffs, _pairs_col(s), _pairs_col(s_shoup)
+        )
+        return Poly(self.ctx, self.representation, out)
+
+    # -- Galois substitution --
+
+    def substitute(self, exp: "SubstitutionExponent") -> "Poly":
+        assert exp.ctx is self.ctx
+        if self.representation in (NTT, NTT_SHOUP):
+            perm = jnp.asarray(exp.perm_ntt)
+            out = jnp.take(self.coeffs, perm, axis=-1)
+            shoup = (
+                jnp.take(self.coeffs_shoup, perm, axis=-1)
+                if self.coeffs_shoup is not None
+                else None
+            )
+            return replace(self, coeffs=out, coeffs_shoup=shoup)
+        # power basis: out[t] = sign[t] * in[src[t]]
+        gathered = jnp.take(self.coeffs, jnp.asarray(exp.perm_power), axis=-1)
+        neg = _neg_fn(self.ctx)(gathered)
+        sign = jnp.asarray(exp.sign_power)  # (N,) bool, True = negate
+        out = jnp.where(sign, neg, gathered)
+        return Poly(self.ctx, POWER_BASIS, out)
+
+    # -- modulus switching --
+
+    def switch_down(self) -> "Poly":
+        """Divide+round by the last modulus and drop it (rq/mod.rs:390-449)."""
+        assert self.representation == POWER_BASIS
+        if self.ctx.next_context is None:
+            raise ValueError("No more context")
+        out = _switch_down_fn(self.ctx)(self.coeffs)
+        return Poly(self.ctx.next_context, POWER_BASIS, out)
+
+    def switch_down_to(self, target: Context) -> "Poly":
+        n = self.ctx.niterations_to(target)
+        p = self
+        for _ in range(n):
+            p = p.switch_down()
+        return p
+
+    def multiply_inverse_power_of_x(self, power: int) -> "Poly":
+        """Negacyclic multiply by x^{-power} (rq/mod.rs:465-486)."""
+        assert self.representation == POWER_BASIS
+        n = self.ctx.degree
+        shift = ((n << 1) - power) % (n << 1)
+        # out[(shift + k) & (n-1)] = ± in[k]
+        src = np.empty(n, dtype=np.int32)
+        sign = np.empty(n, dtype=bool)
+        for k in range(n):
+            index = shift + k
+            src[index & (n - 1)] = k
+            sign[index & (n - 1)] = (index & n) != 0
+        gathered = jnp.take(self.coeffs, jnp.asarray(src), axis=-1)
+        neg = _neg_fn(self.ctx)(gathered)
+        out = jnp.where(jnp.asarray(sign), neg, gathered)
+        return Poly(self.ctx, POWER_BASIS, out)
+
+    # -- data access --
+
+    def to_u64_matrix(self) -> np.ndarray:
+        """(..., k, N) uint64 canonical residues (host)."""
+        return unpack_u64(np.asarray(self.coeffs))
+
+    def lift_bigints(self) -> list:
+        """CRT-lift each coefficient to an integer in [0, q)."""
+        assert self.representation == POWER_BASIS
+        mat = self.to_u64_matrix()
+        assert mat.ndim == 2
+        return [
+            self.ctx.rns.lift([int(mat[i, j]) for i in range(self.ctx.k)])
+            for j in range(self.ctx.degree)
+        ]
+
+    @property
+    def batch_shape(self):
+        return self.coeffs.shape[:-3]
+
+
+class SubstitutionExponent:
+    """Galois automorphism x -> x^exponent (rq/mod.rs:88-121).
+
+    Precomputes gather permutations for both representations.
+    """
+
+    def __init__(self, ctx: Context, exponent: int):
+        n = ctx.degree
+        exponent = exponent % (2 * n)
+        if exponent % 2 == 0:
+            raise ValueError("The exponent should be odd modulo 2 * degree")
+        self.ctx = ctx
+        self.exponent = exponent
+
+        bitrev = ctx.bitrev
+        mask = n - 1
+        power = (exponent - 1) // 2
+        power_bitrev = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            power_bitrev[i] = bitrev[power & mask]
+            power += exponent
+        # NTT-domain: out[bitrev[j]] = in[power_bitrev[j]]
+        # => out[t] = in[power_bitrev[bitrev[t]]] (bitrev is an involution)
+        self.perm_ntt = power_bitrev[bitrev].astype(np.int32)
+
+        # power basis: out[(j*exponent) & mask] (+/-) = in[j]
+        src = np.empty(n, dtype=np.int32)
+        sign = np.empty(n, dtype=bool)
+        power = 0
+        for j in range(n):
+            src[power & mask] = j
+            sign[power & mask] = (power & n) != 0
+            power += exponent
+        self.perm_power = src
+        self.sign_power = sign
+
+
+# ---------------------------------------------------------------------------
+# Scaler / Switcher
+# ---------------------------------------------------------------------------
+
+
+class Scaler:
+    """Context-to-context scaler with the common-moduli fast path
+    (rq/scaler.rs:18-127)."""
+
+    def __init__(self, from_ctx: Context, to_ctx: Context, factor: ScalingFactor):
+        if from_ctx.degree != to_ctx.degree:
+            raise ValueError("Incompatible degrees")
+        self.from_ctx = from_ctx
+        self.to_ctx = to_ctx
+        self.factor = factor
+        if factor.is_one:
+            ncm = 0
+            for qa, qb in zip(from_ctx.q, to_ctx.q):
+                if qa.p != qb.p:
+                    break
+                ncm += 1
+            self.number_common_moduli = ncm
+        else:
+            self.number_common_moduli = 0
+        self.rns_scaler = RnsScaler(from_ctx.rns, to_ctx.rns, factor)
+
+    def scale(self, p: Poly) -> Poly:
+        assert p.ctx is self.from_ctx, "wrong context for scaler"
+        assert not p.lazy
+        ncm = self.number_common_moduli
+        k_out = self.to_ctx.k
+        rep = p.representation
+        assert rep in (POWER_BASIS, NTT)
+
+        parts = []
+        if ncm > 0:
+            parts.append(p.coeffs[..., :ncm, :, :])
+        if ncm < k_out:
+            pb = p if rep == POWER_BASIS else p.into_power_basis()
+            scaled = self.rns_scaler.scale(
+                pb.coeffs, starting_index=ncm, size=k_out - ncm
+            )
+            if rep != POWER_BASIS:
+                # forward NTT with the target context's tables, rows ncm..k_out
+                d = self.to_ctx.dev
+                sl = slice(ncm, k_out)
+                scaled = ntt_mod.forward(
+                    scaled,
+                    d.omegas[sl],
+                    d.omegas_shoup[sl],
+                    (d.p[0][sl], d.p[1][sl]),
+                    (d.p2[0][sl], d.p2[1][sl]),
+                )
+            parts.append(scaled)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-3)
+        return Poly(self.to_ctx, rep, out)
+
+
+class Switcher:
+    """Arbitrary context switch: scale by to_modulus/from_modulus
+    (rq/switcher.rs:11-27)."""
+
+    def __init__(self, from_ctx: Context, to_ctx: Context):
+        self.scaler = Scaler(
+            from_ctx, to_ctx, ScalingFactor(to_ctx.modulus(), from_ctx.modulus())
+        )
+
+    def switch(self, p: Poly) -> Poly:
+        return self.scaler.scale(p)
+
+
+# ---------------------------------------------------------------------------
+# Dot products with deferred reduction
+# ---------------------------------------------------------------------------
+
+
+def dot_product(ps: list, qs: list) -> Poly:
+    """sum_i p_i * q_i for NTT polys with u128 lazy accumulation
+    (rq/ops.rs:448-550). The reduction schedule differs from the reference
+    (uniform threshold instead of per-limb) but the result is identical since
+    intermediate reductions are exact mod p.
+    """
+    assert ps and qs
+    count = min(len(ps), len(qs))
+    ctx = ps[0].ctx
+    d = ctx.dev
+    p2 = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    max_acc = min(
+        1 << (2 * q.leading_zeros) for q in ctx.q
+    )
+    max_acc = max(max_acc, 2)
+
+    first = ps[0].coeffs
+    zero = jnp.zeros(first.shape[:-2] + (first.shape[-1],), dtype=jnp.uint32)
+    acc = (zero, zero, zero, zero)
+    num = 0
+    for i in range(count):
+        a, b = ps[i], qs[i]
+        pa = (a.coeffs[..., 0, :], a.coeffs[..., 1, :])
+        pb = (b.coeffs[..., 0, :], b.coeffs[..., 1, :])
+        acc = u64.mp_mul_pair(acc, pa, pb)
+        num += 1
+        if num >= max_acc - 1:
+            r = zq.reduce_u128(acc, bl, bh, p2)
+            z = jnp.zeros_like(r[0])
+            acc = (r[0], r[1], z, z)
+            num = 1
+    out = zq.reduce_u128(acc, bl, bh, p2)
+    arr = jnp.stack([out[0], out[1]], axis=-2)
+    return Poly(ctx, NTT, arr)
