@@ -1,0 +1,101 @@
+"""Secret keys: CBD sampling, symmetric encryption, decryption, noise meter.
+
+Behavioral parity with fhe/src/bfv/keys/secret_key.rs:
+- encrypt_poly: b = e - a*s + m with a expanded from a fresh 32-byte seed
+  (secret_key.rs:102-137);
+- try_decrypt: phase sum c_i s^i -> t/q scale -> +t, mod q0, mod t
+  (secret_key.rs:200-282);
+- measure_noise: decrypt, re-encode, report max noise bits
+  (secret_key.rs:63-100).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpufhe.bfv.ciphertext import Ciphertext
+from tpufhe.bfv.parameters import BfvParameters
+from tpufhe.bfv.plaintext import Plaintext
+from tpufhe.ops.rq import NTT, Poly
+from tpufhe.utils.sampling import sample_vec_cbd
+
+
+class SecretKey:
+    def __init__(self, coeffs: np.ndarray, par: BfvParameters):
+        self.par = par
+        self.coeffs = np.asarray(coeffs, dtype=np.int64)
+
+    @staticmethod
+    def random(par: BfvParameters, rng) -> "SecretKey":
+        return SecretKey(sample_vec_cbd(par.degree(), par.variance, rng), par)
+
+    def _s_poly(self, ctx) -> Poly:
+        return Poly.from_i64_coeffs(self.coeffs, ctx).into_ntt()
+
+    def encrypt_poly(self, p: Poly, rng) -> Ciphertext:
+        """Symmetric encryption of an NTT-representation polynomial."""
+        assert p.representation == NTT
+        level = self.par.level_of_context(p.ctx)
+        seed = rng.fill_bytes(32)
+        s = self._s_poly(p.ctx)
+        a = Poly.random_from_seed(p.ctx, seed, NTT)
+        a_s = a * s
+        b = Poly.small(p.ctx, self.par.variance, rng, NTT)
+        b = (b - a_s) + p
+        return Ciphertext(self.par, [b, a], level, seed=seed)
+
+    def try_encrypt(self, pt: Plaintext, rng) -> Ciphertext:
+        assert pt.par == self.par
+        return self.encrypt_poly(pt.to_poly(), rng)
+
+    def try_decrypt(self, ct: Ciphertext) -> Plaintext:
+        if ct.par != self.par:
+            raise ValueError("Incompatible BFV parameters")
+        ctx = ct[0].ctx
+        s = self._s_poly(ctx)
+        si = s
+        c = ct[0]
+        for i in range(1, len(ct)):
+            c = c + (ct[i] * si)
+            if i + 1 < len(ct):
+                si = si * s
+        ctx_lvl = self.par.context_level_at(ct.level)
+        d = ctx_lvl.cipher_plain_context.scaler.scale(c.into_power_basis())
+
+        t = self.par.plaintext.value
+        q0 = self.par.moduli[0]
+        # first plaintext-context row holds the scaled value mod q0
+        row0 = d.to_u64_matrix()[0]
+        if self.par.plaintext.is_small:
+            w = np.array(
+                [((int(v) + t) % q0) % t for v in row0], dtype=np.uint64
+            )
+            value = w
+        else:
+            big = d.lift_bigints()
+            q_plain = d.ctx.modulus()
+            value = [((v + t) % q_plain) % t for v in big]
+        poly = (
+            Poly.from_u64_coeffs(value, ctx)
+            if self.par.plaintext.is_small
+            else Poly.from_bigint_coeffs(value, ctx)
+        ).into_ntt()
+        return Plaintext(self.par, value, None, poly, ct.level)
+
+    def measure_noise(self, ct: Ciphertext) -> int:
+        """Max noise bits across coefficients (secret_key.rs:63-100)."""
+        pt = self.try_decrypt(ct)
+        m = pt.to_poly()
+        ctx = ct[0].ctx
+        s = self._s_poly(ctx)
+        si = s
+        c = ct[0]
+        for i in range(1, len(ct)):
+            c = c + (ct[i] * si)
+            si = si * s
+        c = (c - m).into_power_basis()
+        q = ctx.modulus()
+        noise = 0
+        for coeff in c.lift_bigints():
+            noise = max(noise, min(coeff.bit_length(), (q - coeff).bit_length()))
+        return noise
