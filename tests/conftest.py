@@ -20,3 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+# Persistent compilation cache: XLA compiles of the fused FHE pipelines are
+# expensive on this single-core host; cache them across pytest runs.
+_cache_dir = os.path.expanduser("~/.cache/tpufhe_jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,109 @@
+"""Fused pipeline correctness vs the object API + sharded multi-device run."""
+
+import jax
+import numpy as np
+
+from tpufhe.bfv import (
+    BfvParameters,
+    Encoding,
+    Plaintext,
+    RelinearizationKey,
+    SecretKey,
+    ct_mul,
+)
+from tpufhe.pipeline import make_decrypt_phase, make_mul_relin
+from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+RNG = np.random.default_rng(11)
+
+
+def rng():
+    return ChaCha8Rng(seed_from_u64(int(RNG.integers(0, 1 << 63))))
+
+
+def test_mul_relin_pipeline_matches_object_api():
+    par = BfvParameters.default(3, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r)
+    t = par.plaintext.value
+    va = RNG.integers(0, t, size=16, dtype=np.uint64)
+    vb = RNG.integers(0, t, size=16, dtype=np.uint64)
+    ca = sk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
+    cb = sk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
+
+    # object API
+    want_ct = ct_mul(ca, cb)
+    rk.relinearizes(want_ct)
+
+    # fused pipeline
+    fn = make_mul_relin(par, rk)
+    out0, out1 = fn(ca[0].coeffs, ca[1].coeffs, cb[0].coeffs, cb[1].coeffs)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(want_ct[0].coeffs))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(want_ct[1].coeffs))
+
+
+def test_mul_relin_pipeline_batched_and_sharded():
+    from tpufhe.parallel import batch_limb_mesh, make_sharded_mul_relin, shard_ciphertext
+
+    par = BfvParameters.default(2, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r)
+    t = par.plaintext.value
+
+    B = 8
+    cas, cbs, wants = [], [], []
+    for _ in range(B):
+        va = RNG.integers(0, t, size=16, dtype=np.uint64)
+        vb = RNG.integers(0, t, size=16, dtype=np.uint64)
+        ca = sk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
+        cb = sk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
+        cas.append(ca)
+        cbs.append(cb)
+        wants.append(((va.astype(object) * vb.astype(object)) % t).astype(np.uint64))
+
+    a0 = np.stack([np.asarray(c[0].coeffs) for c in cas])
+    a1 = np.stack([np.asarray(c[1].coeffs) for c in cas])
+    b0 = np.stack([np.asarray(c[0].coeffs) for c in cbs])
+    b1 = np.stack([np.asarray(c[1].coeffs) for c in cbs])
+
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    mesh = batch_limb_mesh(4, 2)
+    fn = make_sharded_mul_relin(par, rk, mesh)
+    args = [shard_ciphertext(mesh, x) for x in (a0, a1, b0, b1)]
+    out0, out1 = fn(*args)
+
+    # decrypt each batch element and check the product
+    from tpufhe.bfv.ciphertext import Ciphertext
+    from tpufhe.ops.rq import NTT, Poly
+
+    ctx = par.context_at_level(0)
+    for i in range(B):
+        ct = Ciphertext(
+            par,
+            [
+                Poly(ctx, NTT, np.asarray(out0)[i]),
+                Poly(ctx, NTT, np.asarray(out1)[i]),
+            ],
+            0,
+        )
+        got = np.asarray(sk.try_decrypt(ct).try_decode(Encoding.simd()))
+        np.testing.assert_array_equal(got, wants[i])
+
+
+def test_decrypt_phase_pipeline():
+    par = BfvParameters.default(2, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    t = par.plaintext.value
+    vals = RNG.integers(0, t, size=16, dtype=np.uint64)
+    ct = sk.try_encrypt(Plaintext.try_encode(vals, Encoding.poly(), par), r)
+    fn = make_decrypt_phase(par, sk)
+    d = fn(ct[0].coeffs, ct[1].coeffs)
+    from tpufhe.ops.rq import unpack_u64
+
+    row0 = unpack_u64(np.asarray(d))[0]
+    q0 = par.moduli[0]
+    got = np.array([((int(v) + t) % q0) % t for v in row0], dtype=np.uint64)
+    np.testing.assert_array_equal(got, vals)

@@ -1,0 +1,215 @@
+"""Private Information Retrieval: MulPIR and SealPIR (eprint 2019/1483).
+
+Behavioral parity with examples/mulpir.rs and examples/sealpir.rs: the client
+encrypts a selection vector scaled by (2^level)^{-1}; the server obliviously
+expands it, takes database inner products, and either multiplies with the
+second selection half (MulPIR, one ct-ct mul + relin) or folds response
+ciphertexts into plaintexts for a second inner product (SealPIR).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpufhe.bfv import (
+    BfvParametersBuilder,
+    Ciphertext,
+    Encoding,
+    EvaluationKeyBuilder,
+    Plaintext,
+    PlaintextVec,
+    RelinearizationKey,
+    SecretKey,
+    ct_add,
+    ct_mul_pt,
+    dot_product_scalar,
+)
+from tpufhe.bfv.ops import ct_mul
+from tpufhe.models.util import (
+    encode_database,
+    generate_database,
+    number_elements_per_plaintext,
+)
+from tpufhe.ops.rq import NTT, Poly
+from tpufhe.utils.misc import inverse
+from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+from tpufhe.utils.transcode import transcode_bidirectional, transcode_to_bytes
+
+
+def _pir_setup(degree, plaintext_modulus, moduli_sizes, database_size,
+               elements_size, seed):
+    par = (
+        BfvParametersBuilder()
+        .set_degree(degree)
+        .set_plaintext_modulus(plaintext_modulus)
+        .set_moduli_sizes(moduli_sizes)
+        .build()
+    )
+    rng = ChaCha8Rng(seed_from_u64(seed))
+    database = generate_database(database_size, elements_size)
+    preprocessed, (dim1, dim2) = encode_database(database, par, 1)
+    return par, rng, database, preprocessed, dim1, dim2
+
+
+def _client_query(par, sk, rng, index, dim1, dim2, elements_size):
+    t = par.plaintext.value
+    plaintext_nbits = t.bit_length() - 1
+    level = max((dim1 + dim2 - 1).bit_length(), 1)
+    query_index = index // number_elements_per_plaintext(
+        par.degree(), plaintext_nbits, elements_size
+    )
+    pt = np.zeros(dim1 + dim2, dtype=np.uint64)
+    inv = inverse(1 << level, t)
+    pt[query_index // dim2] = inv
+    pt[dim1 + (query_index % dim2)] = inv
+    query_pt = Plaintext.try_encode(pt, Encoding.poly(1), par)
+    return sk.try_encrypt(query_pt, rng), level
+
+
+def run_mulpir(database_size=64, elements_size=16, degree=64,
+               plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=17):
+    """End-to-end MulPIR; returns (retrieved_element, expected_element).
+
+    Defaults are test-sized; the paper configuration is degree=8192,
+    t = 2^20+2^19+2^17+2^16+2^14+1, moduli_sizes=(50,55,55), 1 KiB x 65536.
+    """
+    if plaintext_modulus is None:
+        from tpufhe.utils.primes import generate_prime
+
+        plaintext_modulus = generate_prime(16, 2 * degree, 1 << 16)
+    par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
+        degree, plaintext_modulus, moduli_sizes, database_size, elements_size,
+        seed,
+    )
+    t = par.plaintext.value
+    plaintext_nbits = t.bit_length() - 1
+
+    # client setup
+    sk = SecretKey.random(par, rng)
+    level = max((dim1 + dim2 - 1).bit_length(), 1)
+    ek_expansion = (
+        EvaluationKeyBuilder(sk, ciphertext_level=1, evaluation_key_level=0)
+        .enable_expansion(level)
+        .build(rng)
+    )
+    rk = RelinearizationKey.new(sk, rng, ciphertext_level=1, key_level=1)
+
+    # client query
+    index = int(np.random.default_rng(seed).integers(0, database_size))
+    query, level = _client_query(par, sk, rng, index, dim1, dim2, elements_size)
+
+    # server response
+    expanded = ek_expansion.expands(query, dim1 + dim2)
+    query_vec = expanded[:dim1]
+    out = Ciphertext.zero(par)
+    for i, ci in enumerate(expanded[dim1:]):
+        column = preprocessed[i::dim2]
+        dot = dot_product_scalar(query_vec, column)
+        prod = ct_mul(dot, ci)
+        out = prod if not out.c else ct_add(out, prod)
+    rk.relinearizes(out)
+    out.switch_to_level(out.max_switchable_level())
+
+    # client answer
+    pt = sk.try_decrypt(out)
+    values = np.asarray(pt.try_decode(Encoding.poly(out.level)))
+    plaintext_bytes = transcode_to_bytes(values, plaintext_nbits)
+    offset = index % number_elements_per_plaintext(
+        par.degree(), plaintext_nbits, elements_size
+    )
+    answer = bytes(
+        plaintext_bytes[offset * elements_size : (offset + 1) * elements_size]
+    )
+    return answer, database[index]
+
+
+def run_sealpir(database_size=64, elements_size=16, degree=64,
+                plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=23):
+    """End-to-end SealPIR with ciphertext-as-plaintext folding."""
+    if plaintext_modulus is None:
+        from tpufhe.utils.primes import generate_prime
+
+        plaintext_modulus = generate_prime(16, 2 * degree, 1 << 16)
+    par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
+        degree, plaintext_modulus, moduli_sizes, database_size, elements_size,
+        seed,
+    )
+    t = par.plaintext.value
+    plaintext_nbits = t.bit_length() - 1
+    q0_bits = par.moduli[0].bit_length()
+
+    sk = SecretKey.random(par, rng)
+    level = max((dim1 + dim2 - 1).bit_length(), 1)
+    ek_expansion = (
+        EvaluationKeyBuilder(sk, ciphertext_level=1, evaluation_key_level=0)
+        .enable_expansion(level)
+        .build(rng)
+    )
+
+    index = int(np.random.default_rng(seed).integers(0, database_size))
+    query, level = _client_query(par, sk, rng, index, dim1, dim2, elements_size)
+
+    # server: first-dimension inner products, mod-switched to the last level
+    expanded = ek_expansion.expands(query, dim1 + dim2)
+    query_vec = expanded[:dim1]
+    dot_products = []
+    for i in range(dim2):
+        c = dot_product_scalar(query_vec, preprocessed[i::dim2])
+        c.switch_to_level(c.max_switchable_level())
+        dot_products.append(c)
+
+    # fold each response ciphertext into plaintexts (NTT-domain coefficients
+    # transcoded into the plaintext space, sealpir.rs:176-201)
+    folds = []
+    for c in dot_products:
+        pt_values = []
+        for part in (c[0], c[1]):
+            coeffs = part.to_u64_matrix()[0]  # single limb at the last level
+            pt_values.extend(
+                transcode_bidirectional(coeffs, q0_bits, plaintext_nbits)
+            )
+        folds.append(
+            PlaintextVec.try_encode(pt_values, Encoding.poly(1), par)
+        )
+
+    responses = []
+    for i in range(len(folds[0])):
+        outi = dot_product_scalar(
+            expanded[dim1:], [f[i] for f in folds]
+        )
+        outi.switch_to_level(outi.max_switchable_level())
+        responses.append(outi)
+
+    # client: decrypt outer, reassemble the inner ciphertext, decrypt again
+    decrypted = []
+    for r in responses:
+        pt = sk.try_decrypt(r)
+        decrypted.extend(
+            int(v) for v in np.asarray(pt.try_decode(Encoding.poly(r.level)))
+        )
+    expect_n = -((-par.degree() * q0_bits) // plaintext_nbits)
+    poly0 = transcode_bidirectional(
+        decrypted[:expect_n], plaintext_nbits, q0_bits
+    )[: par.degree()]
+    poly1 = transcode_bidirectional(
+        decrypted[expect_n : 2 * expect_n], plaintext_nbits, q0_bits
+    )[: par.degree()]
+    last_level = par.max_level()
+    ctx = par.context_at_level(last_level)
+    ct = Ciphertext.new(
+        [
+            Poly.from_u64_matrix(np.asarray(poly0)[None, :], ctx, NTT),
+            Poly.from_u64_matrix(np.asarray(poly1)[None, :], ctx, NTT),
+        ],
+        par,
+    )
+    pt = sk.try_decrypt(ct)
+    values = np.asarray(pt.try_decode(Encoding.poly(last_level)))
+    plaintext_bytes = transcode_to_bytes(values, plaintext_nbits)
+    offset = index % number_elements_per_plaintext(
+        par.degree(), plaintext_nbits, elements_size
+    )
+    answer = bytes(
+        plaintext_bytes[offset * elements_size : (offset + 1) * elements_size]
+    )
+    return answer, database[index]
