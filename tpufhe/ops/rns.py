@@ -19,7 +19,6 @@ accumulate into 128-bit pairs exactly as the reference's u128 loop
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import cached_property
 from math import gcd
 
 import jax.numpy as jnp
@@ -132,9 +131,12 @@ def _extract_projection_and_theta(
 
 
 def _u64_pair_col(vals) -> tuple:
-    """list of ints -> (k, 1) u64-pair jnp arrays (broadcast over coeffs)."""
+    """list of ints -> (k, 1) u64-pair NUMPY arrays (trace-safe constants)."""
     arr = np.array([int(v) for v in vals], dtype=np.uint64).reshape(-1, 1)
-    return u64.to_pair(arr)
+    return (
+        (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (arr >> np.uint64(32)).astype(np.uint32),
+    )
 
 
 def _u128_limbs(x: int) -> list[np.uint32]:
@@ -200,6 +202,7 @@ class RnsScaler:
 
         self._k_in = k_in
         self._k_out = k_out
+        self._build_device_consts()
 
     # ------------------------------------------------------------------
     # Exact host implementation (golden reference; also used in tests)
@@ -263,16 +266,16 @@ class RnsScaler:
     # Device implementation
     # ------------------------------------------------------------------
 
-    @cached_property
-    def _device_consts(self):
+    def _build_device_consts(self):
+        # numpy-only constants: safe to embed in any trace without leaking
         c = {}
         c["tg_limbs"] = [
-            [jnp.asarray(l) for l in _u128_limbs(tg)] for tg in self.theta_garner
+            list(_u128_limbs(tg)) for tg in self.theta_garner
         ]
         c["to_limbs"] = [
-            [jnp.asarray(l) for l in _u128_limbs(to)] for to in self.theta_omega
+            list(_u128_limbs(to)) for to in self.theta_omega
         ]
-        c["tgamma_limbs"] = [jnp.asarray(l) for l in _u128_limbs(self.theta_gamma)]
+        c["tgamma_limbs"] = list(_u128_limbs(self.theta_gamma))
         c["gamma"] = _u64_pair_col(self.gamma)  # (k_out, 1) pairs
         c["gamma_shoup"] = _u64_pair_col(self.gamma_shoup)
         k_out, k_in = self._k_out, self._k_in
@@ -285,12 +288,11 @@ class RnsScaler:
                 )
             )
         c["omega_cols"] = omega_cols
-        p_arr = np.array(self.to_ctx.moduli_u64, dtype=np.uint64).reshape(-1, 1)
-        c["p"] = u64.to_pair(p_arr)
-        c["p2"] = u64.to_pair(2 * p_arr)
+        c["p"] = _u64_pair_col(self.to_ctx.moduli_u64)
+        c["p2"] = _u64_pair_col([2 * m for m in self.to_ctx.moduli_u64])
         c["barrett_lo"] = _u64_pair_col([q.barrett_lo for q in self.to_ctx.moduli])
         c["barrett_hi"] = _u64_pair_col([q.barrett_hi for q in self.to_ctx.moduli])
-        return c
+        self._device_consts = c
 
     def scale(self, rests, starting_index: int = 0, size: int | None = None):
         """Device scaling.
