@@ -16,14 +16,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, args, iters=20):
+def timeit(fn, args, iters=20, chain=True):
+    """Chained timing where shapes allow: feed outputs back as inputs so the
+    runtime cannot elide repeated identical executions."""
     import jax
 
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
+    cur = args
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(*cur)
+        if chain:
+            outs = out if isinstance(out, tuple) else (out,)
+            cur = tuple(
+                o if (hasattr(o, "shape") and o.shape == a.shape) else a
+                for o, a in zip(list(outs) * len(cur), cur)
+            )
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 

@@ -15,13 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, args, iters=20):
+    """Chained timing: each iteration consumes the previous output so the
+    runtime cannot elide or dedupe repeated identical executions."""
     import jax
 
-    out = fn(*args)
+    x, rest = args[0], tuple(args[1:])
+    out = fn(x, *rest)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = fn(out, *rest)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -35,7 +38,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpufhe.ops import rq as rq_mod
-    from tpufhe.ops.pallas.ntt_kernel import build_stage_tables, ntt_pallas
+    from tpufhe.ops.pallas.ntt_kernel import build_limb_scalars, build_stage_tables, ntt_pallas
     from tpufhe.ops.rq import Context, pack_u64
     from tpufhe.utils.primes import generate_prime
 
@@ -69,14 +72,10 @@ def main():
 
     tables = np.stack([build_stage_tables(op, inverse=False) for op in ctx.ops])
     tables = jax.device_put(tables)
-    args = dict(
-        moduli=[q.p for q in ctx.q],
-        ninvs=[op.size_inv for op in ctx.ops],
-        ninv_shoups=[op.size_inv_shoup for op in ctx.ops],
-    )
+    scalars = jax.device_put(build_limb_scalars(ctx.ops))
 
     def pallas_fwd(xx, tt):
-        return ntt_pallas(xx, tt, **args)
+        return ntt_pallas(xx, tt, scalars)
 
     pallas_fwd = jax.jit(pallas_fwd)
     # parity check on device
@@ -95,7 +94,7 @@ def main():
           f"({t*1e3:.3f} ms/batch)")
 
     def pallas_bwd(xx, tt):
-        return ntt_pallas(xx, tt, inverse=True, **args)
+        return ntt_pallas(xx, tt, scalars, inverse=True)
 
     pallas_bwd = jax.jit(pallas_bwd)
     out_p = np.asarray(pallas_bwd(x, tables_b))

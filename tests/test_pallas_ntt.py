@@ -5,7 +5,7 @@ import pytest
 
 from tpufhe.ops import ntt as ntt_mod
 from tpufhe.ops import rq as rq_mod
-from tpufhe.ops.pallas.ntt_kernel import build_stage_tables, ntt_pallas
+from tpufhe.ops.pallas.ntt_kernel import build_limb_scalars, build_stage_tables, ntt_pallas
 from tpufhe.ops.rq import Context, pack_u64
 
 RNG = np.random.default_rng(123)
@@ -35,13 +35,8 @@ def test_forward_parity(lazy):
         [build_stage_tables(op, inverse=False) for op in ctx.ops]
     )
     out = np.asarray(
-        ntt_pallas(
-            x, tables,
-            moduli=[q.p for q in ctx.q],
-            ninvs=[op.size_inv for op in ctx.ops],
-            ninv_shoups=[op.size_inv_shoup for op in ctx.ops],
-            lazy=lazy, interpret=True,
-        )
+        ntt_pallas(x, tables, build_limb_scalars(ctx.ops), lazy=lazy,
+                   interpret=True)
     )
     want = np.asarray(rq_mod._fwd_fn(ctx, lazy)(x))
     np.testing.assert_array_equal(out, want)
@@ -57,12 +52,7 @@ def test_backward_parity():
     # backward expects NTT-domain input < p: forward first via XLA path
     fwd = np.asarray(rq_mod._fwd_fn(ctx, False)(x))
     out = np.asarray(
-        ntt_pallas(
-            fwd, tables,
-            moduli=[q.p for q in ctx.q],
-            ninvs=[op.size_inv for op in ctx.ops],
-            ninv_shoups=[op.size_inv_shoup for op in ctx.ops],
-            inverse=True, interpret=True,
-        )
+        ntt_pallas(fwd, tables, build_limb_scalars(ctx.ops), inverse=True,
+                   interpret=True)
     )
     np.testing.assert_array_equal(out, x)

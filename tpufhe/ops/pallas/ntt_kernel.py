@@ -5,10 +5,12 @@ HBM; this kernel keeps the whole transform resident in VMEM and runs all
 log2(N) stages back-to-back on the VPU.
 
 Design:
-- data (B, k, 2, N) uint32; grid (k, B/Bt) with the limb axis OUTER so each
-  limb's twiddle block stays resident across the batch sweep;
+- data (B, k, 2, N) uint32; ONE pallas_call with grid (k, B/Bt), limb axis
+  outer so each limb's twiddle block stays resident across the batch sweep;
+- per-limb scalars (p, n^{-1}, shoup(n^{-1})) arrive via scalar prefetch and
+  are read by program_id, so a single compiled kernel serves every limb;
 - every stage uses per-lane twiddle VECTORS (host-precomputed,
-  (n_stages, 2, 2, N) per limb: [stage][value|shoup][lo|hi][coeff]) so the
+  (k, n_stages, 2, 2, N): [limb][stage][value|shoup][lo|hi][coeff]) so the
   butterfly is uniform: partners are fetched with circular rolls (sublane
   rolls for pair distance >= 128, lane rolls below — pairs never straddle a
   128-lane row for distances < 128), and a static block-parity mask selects
@@ -63,13 +65,25 @@ def build_stage_tables(op, inverse: bool) -> np.ndarray:
     return np.stack([lo, hi], axis=2)  # (n_stages, 2, 2, N)
 
 
+def build_limb_scalars(ops) -> np.ndarray:
+    """(k, 6) uint32: p, n^{-1}, shoup(n^{-1}) as lo/hi pairs per limb."""
+    rows = []
+    for op in ops:
+        p, ni, nis = op.q.p, op.size_inv, op.size_inv_shoup
+        rows.append([
+            p & 0xFFFFFFFF, p >> 32,
+            ni & 0xFFFFFFFF, ni >> 32,
+            nis & 0xFFFFFFFF, nis >> 32,
+        ])
+    return np.array(rows, dtype=np.uint32)
+
+
 def _roll(x, shift: int, axis: int):
-    """Circular roll by a static amount (partner fetch)."""
     size = x.shape[axis]
     return pltpu.roll(x, shift % size, axis=axis)
 
 
-def _stage_mask(n: int, l: int, S: int):
+def _stage_mask(l: int, S: int):
     """(S, 128) bool: True where the position is the x-part of its block."""
     row = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
@@ -78,10 +92,7 @@ def _stage_mask(n: int, l: int, S: int):
 
 
 def _partners(lo, hi, l: int):
-    """Fetch both roll directions of the (lo, hi) planes at distance l.
-
-    Planes are (Bt, S, 128); distance >= 128 rolls sublanes, else lanes.
-    """
+    """Both roll directions at distance l on (Bt, S, 128) planes."""
     if l >= 128:
         ax, sh = 1, l // 128
     else:
@@ -95,23 +106,24 @@ def _sel(mask, a, b):
     return (jnp.where(mask, a[0], b[0]), jnp.where(mask, a[1], b[1]))
 
 
-def _ntt_kernel(x_ref, tw_ref, o_ref, *, n: int, lazy: bool, inverse: bool,
-                p: int, ninv: int, ninv_shoup: int):
+def _ntt_kernel(scal_ref, x_ref, tw_ref, o_ref, *, n: int, lazy: bool,
+                inverse: bool):
     S = n // 128
     logn = n.bit_length() - 1
+    li = pl.program_id(0)
+    p_pair = (scal_ref[li, 0], scal_ref[li, 1])
+
     x = x_ref[...]  # (Bt, 1, 2, N)
     Bt = x.shape[0]
     lo = x[:, 0, 0, :].reshape(Bt, S, 128)
     hi = x[:, 0, 1, :].reshape(Bt, S, 128)
 
-    p_pair = (jnp.uint32(p & 0xFFFFFFFF), jnp.uint32(p >> 32))
-    p2 = 2 * p
-    p2_pair = (jnp.uint32(p2 & 0xFFFFFFFF), jnp.uint32(p2 >> 32))
+    p2_pair = u64.add64(p_pair, p_pair)
 
     ls = ([n >> (s + 1) for s in range(logn)] if not inverse
           else [1 << s for s in range(logn)])
     for s, l in enumerate(ls):
-        mask = _stage_mask(n, l, S)[None, :, :]
+        mask = _stage_mask(l, S)[None, :, :]
         w = (
             tw_ref[0, s, 0, 0, :].reshape(1, S, 128),
             tw_ref[0, s, 0, 1, :].reshape(1, S, 128),
@@ -139,9 +151,8 @@ def _ntt_kernel(x_ref, tw_ref, o_ref, *, n: int, lazy: bool, inverse: bool,
         lo, hi = _sel(mask, out_x, out_y)
 
     if inverse:
-        ni = (jnp.uint32(ninv & 0xFFFFFFFF), jnp.uint32(ninv >> 32))
-        nis = (jnp.uint32(ninv_shoup & 0xFFFFFFFF),
-               jnp.uint32(ninv_shoup >> 32))
+        ni = (scal_ref[li, 2], scal_ref[li, 3])
+        nis = (scal_ref[li, 4], scal_ref[li, 5])
         lo, hi = zq.mul_shoup((lo, hi), ni, nis, p_pair)
     elif not lazy:
         lo, hi = zq.reduce1(zq.reduce1((lo, hi), p2_pair), p_pair)
@@ -151,10 +162,12 @@ def _ntt_kernel(x_ref, tw_ref, o_ref, *, n: int, lazy: bool, inverse: bool,
 
 
 def _pick_bt(batch: int, n: int) -> int:
-    """Batch tile: keep x-tile + twiddle tables within ~8 MB of VMEM."""
-    budget = 6 * 1024 * 1024
-    per_row = 2 * n * 4 * 3  # in + out + headroom
-    bt = max(1, budget // per_row)
+    """Batch tile: keep live kernel temporaries within the VMEM budget."""
+    budget = 8 * 1024 * 1024
+    logn = n.bit_length() - 1
+    tables = logn * 4 * n * 4
+    per_row = 2 * n * 4 * 8  # ~16 live uint32 planes of length n
+    bt = max(1, (budget - tables) // per_row)
     bt = min(bt, batch, 256)
     while batch % bt:
         bt -= 1
@@ -163,55 +176,43 @@ def _pick_bt(batch: int, n: int) -> int:
 
 @lru_cache(maxsize=None)
 def _ntt_call(n: int, k: int, batch: int, lazy: bool, inverse: bool,
-              moduli: tuple, ninvs: tuple, ninv_shoups: tuple,
               interpret: bool):
     logn = n.bit_length() - 1
     bt = _pick_bt(batch, n)
     grid = (k, batch // bt)
 
-    def make_kernel(limb):
-        return partial(
-            _ntt_kernel, n=n, lazy=lazy, inverse=inverse, p=moduli[limb],
-            ninv=ninvs[limb], ninv_shoup=ninv_shoups[limb],
-        )
+    kernel = partial(_ntt_kernel, n=n, lazy=lazy, inverse=inverse)
 
-    # p differs per limb: dispatch one pallas_call per limb slice, stacked.
-    # The limb loop is static (k is small); each call grids over the batch.
-    def run(x, tables):
-        outs = []
-        for limb in range(k):
-            xi = x[:, limb : limb + 1]
-            ti = tables[limb : limb + 1]
-            out = pl.pallas_call(
-                make_kernel(limb),
-                out_shape=jax.ShapeDtypeStruct((batch, 1, 2, n), jnp.uint32),
-                grid=(batch // bt,),
-                in_specs=[
-                    pl.BlockSpec((bt, 1, 2, n), lambda b: (b, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, logn, 2, 2, n), lambda b: (0, 0, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((bt, 1, 2, n), lambda b: (b, 0, 0, 0),
-                                       memory_space=pltpu.VMEM),
-                interpret=interpret,
-            )(xi, ti)
-            outs.append(out)
-        return jnp.concatenate(outs, axis=1) if k > 1 else outs[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1, 2, n), lambda li, bi, *_: (bi, li, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, logn, 2, 2, n),
+                         lambda li, bi, *_: (li, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 1, 2, n), lambda li, bi, *_: (bi, li, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
 
-    return run
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, k, 2, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+    return call
 
 
-def ntt_pallas(x, tables, moduli, ninvs, ninv_shoups, lazy=False,
-               inverse=False, interpret=False):
+def ntt_pallas(x, tables, scalars, lazy=False, inverse=False,
+               interpret=False):
     """Run the fused NTT kernel.
 
-    x: (B, k, 2, N) uint32; tables: (k, n_stages, 2, 2, N) uint32 stage
-    twiddle vectors (build_stage_tables per limb, stacked).
+    x: (B, k, 2, N) uint32; tables: (k, n_stages, 2, 2, N) stage twiddle
+    vectors; scalars: (k, 6) uint32 per-limb constants (build_limb_scalars).
     """
     batch, k, _, n = x.shape
-    run = _ntt_call(
-        n, k, batch, lazy, inverse, tuple(moduli), tuple(ninvs),
-        tuple(ninv_shoups), interpret,
-    )
-    return run(x, tables)
+    call = _ntt_call(n, k, batch, lazy, inverse, interpret)
+    return call(scalars, x, tables)

@@ -56,9 +56,12 @@ def unpack_u64(arr) -> np.ndarray:
 
 
 def _pairs_col(vals) -> tuple:
-    """ints -> (k,) u64-pair device arrays."""
+    """ints -> (k,) u64-pair numpy arrays (trace-safe constants)."""
     arr = np.array([int(v) for v in vals], dtype=np.uint64)
-    return u64.to_pair(arr)
+    return (
+        (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (arr >> np.uint64(32)).astype(np.uint32),
+    )
 
 
 _CONTEXT_CACHE: dict = {}
@@ -156,9 +159,8 @@ class _DeviceConsts:
 
     def __init__(self, ctx: Context):
         k, n = ctx.k, ctx.degree
-        p_arr = np.array(ctx.moduli, dtype=np.uint64)
-        self.p = u64.to_pair(p_arr)  # (k,) pairs
-        self.p2 = u64.to_pair(2 * p_arr)
+        self.p = _pairs_col(ctx.moduli)  # (k,) numpy pairs
+        self.p2 = _pairs_col([2 * m for m in ctx.moduli])
         self.barrett_lo = _pairs_col([q.barrett_lo for q in ctx.q])
         self.barrett_hi = _pairs_col([q.barrett_hi for q in ctx.q])
         self.omegas = np.stack([pack_u64(o.omegas) for o in ctx.ops])  # (k,2,n)
@@ -169,14 +171,91 @@ class _DeviceConsts:
         )
         self.ninv = _pairs_col([o.size_inv for o in ctx.ops])
         self.ninv_shoup = _pairs_col([o.size_inv_shoup for o in ctx.ops])
+        self._ctx = ctx
+        self._stage_tables = {}
         if k >= 2:
             self.inv_last = _pairs_col(ctx.inv_last_qi_mod_qj)
             self.inv_last_shoup = _pairs_col(ctx.inv_last_qi_mod_qj_shoup)
+
+    def stage_tables(self, inverse: bool):
+        """Per-lane stage twiddle tables for the Pallas NTT, (k, logN, 2, 2, N)."""
+        if inverse not in self._stage_tables:
+            from tpufhe.ops.pallas.ntt_kernel import build_stage_tables
+
+            self._stage_tables[inverse] = np.stack(
+                [build_stage_tables(op, inverse) for op in self._ctx.ops]
+            )
+        return self._stage_tables[inverse]
+
+    def limb_scalars(self):
+        """(k, 6) per-limb kernel scalars (p, n^{-1}, shoup(n^{-1}))."""
+        if not hasattr(self, "_limb_scalars"):
+            from tpufhe.ops.pallas.ntt_kernel import build_limb_scalars
+
+            self._limb_scalars = build_limb_scalars(self._ctx.ops)
+        return self._limb_scalars
 
 
 # ---------------------------------------------------------------------------
 # jitted per-context kernels
 # ---------------------------------------------------------------------------
+
+
+
+
+def _pallas_ok(ctx: Context) -> bool:
+    """Use the fused Pallas NTT on TPU backends for large-enough degrees."""
+    import jax as _jax
+
+    if ctx.degree < 256 or ctx.degree % 128 != 0:
+        return False
+    try:
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
+                    limb_slice: slice | None = None):
+    """Forward NTT on (..., k, 2, N), Pallas-fused on TPU, XLA otherwise.
+
+    limb_slice restricts to a contiguous subset of the context's limbs
+    (the Scaler's partial forward on rows ncm..k_out).
+    """
+    d = ctx.dev
+    sl = limb_slice if limb_slice is not None else slice(None)
+    if _pallas_ok(ctx):
+        from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
+
+        lead = coeffs.shape[:-3]
+        x = coeffs.reshape((-1,) + coeffs.shape[-3:])
+        out = ntt_pallas(
+            x, ctx.dev.stage_tables(False)[sl], ctx.dev.limb_scalars()[sl],
+            lazy=lazy,
+        )
+        return out.reshape(lead + out.shape[-3:])
+    return ntt_mod.forward(
+        coeffs, d.omegas[sl], d.omegas_shoup[sl],
+        (d.p[0][sl], d.p[1][sl]), (d.p2[0][sl], d.p2[1][sl]), lazy=lazy,
+    )
+
+
+def ntt_backward_any(ctx: Context, coeffs):
+    """Inverse NTT on (..., k, 2, N), Pallas-fused on TPU, XLA otherwise."""
+    d = ctx.dev
+    if _pallas_ok(ctx):
+        from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
+
+        lead = coeffs.shape[:-3]
+        x = coeffs.reshape((-1,) + coeffs.shape[-3:])
+        out = ntt_pallas(
+            x, ctx.dev.stage_tables(True), ctx.dev.limb_scalars(),
+            inverse=True,
+        )
+        return out.reshape(lead + out.shape[-3:])
+    return ntt_mod.backward(
+        coeffs, d.zetas_inv, d.zetas_inv_shoup, d.ninv, d.ninv_shoup, d.p, d.p2
+    )
 
 
 @lru_cache(maxsize=None)
@@ -185,7 +264,7 @@ def _fwd_fn(ctx: Context, lazy: bool):
 
     @jax.jit
     def f(coeffs):
-        return ntt_mod.forward(coeffs, d.omegas, d.omegas_shoup, d.p, d.p2, lazy=lazy)
+        return ntt_forward_any(ctx, coeffs, lazy=lazy)
 
     return f
 
@@ -196,9 +275,7 @@ def _bwd_fn(ctx: Context):
 
     @jax.jit
     def f(coeffs):
-        return ntt_mod.backward(
-            coeffs, d.zetas_inv, d.zetas_inv_shoup, d.ninv, d.ninv_shoup, d.p, d.p2
-        )
+        return ntt_backward_any(ctx, coeffs)
 
     return f
 
@@ -421,7 +498,7 @@ def _lazy_const_ntt_fn(ctx: Context):
         pa = (digits[..., None, 0, :], digits[..., None, 1, :])
         r = zq.lazy_reduce(pa, bl, bh, p)
         arr = jnp.stack([r[0], r[1]], axis=-2)
-        return ntt_mod.forward(arr, d.omegas, d.omegas_shoup, d.p, d.p2, lazy=True)
+        return ntt_forward_any(ctx, arr, lazy=True)
 
     return f
 
@@ -772,14 +849,8 @@ class Scaler:
             )
             if rep != POWER_BASIS:
                 # forward NTT with the target context's tables, rows ncm..k_out
-                d = self.to_ctx.dev
-                sl = slice(ncm, k_out)
-                scaled = ntt_mod.forward(
-                    scaled,
-                    d.omegas[sl],
-                    d.omegas_shoup[sl],
-                    (d.p[0][sl], d.p[1][sl]),
-                    (d.p2[0][sl], d.p2[1][sl]),
+                scaled = ntt_forward_any(
+                    self.to_ctx, scaled, limb_slice=slice(ncm, k_out)
                 )
             parts.append(scaled)
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-3)
