@@ -31,6 +31,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from tpufhe.bfv import BfvParametersBuilder, RelinearizationKey, SecretKey
+    from tpufhe.ops.rq import pack_u64
     from tpufhe.pipeline import make_mul_relin
     from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
 
@@ -62,9 +63,7 @@ def main():
             ],
             axis=1,
         )
-        lo = (mat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (mat >> np.uint64(32)).astype(np.uint32)
-        arrs.append(jax.device_put(np.stack([lo, hi], axis=2)))
+        arrs.append(jax.device_put(pack_u64(mat)))
 
     # warmup / compile
     out = fn(*arrs)

@@ -13,9 +13,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The fused integer pipelines produce single fusions with thousands of LLVM
+# instructions; at the default backend opt level the CPU compile of one such
+# program takes >10 minutes on this 1-core host. Opt level 0 compiles the
+# same (bit-exact) program in seconds. TPU runs (bench.py) are unaffected.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0"
+             " --xla_llvm_disable_expensive_passes=true"
+             " --xla_cpu_use_thunk_runtime=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

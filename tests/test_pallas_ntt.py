@@ -31,9 +31,7 @@ def test_forward_parity(lazy):
     ctx = Context(MODULI, N)
     batch = 2
     x, mats = make_inputs(ctx, batch)
-    tables = np.stack(
-        [build_stage_tables(op, inverse=False) for op in ctx.ops]
-    )
+    tables = ctx.dev.stage_tables(False)
     out = np.asarray(
         ntt_pallas(x, tables, build_limb_scalars(ctx.ops), lazy=lazy,
                    interpret=True)
@@ -46,9 +44,7 @@ def test_backward_parity():
     ctx = Context(MODULI, N)
     batch = 2
     x, mats = make_inputs(ctx, batch)
-    tables = np.stack(
-        [build_stage_tables(op, inverse=True) for op in ctx.ops]
-    )
+    tables = ctx.dev.stage_tables(True)
     # backward expects NTT-domain input < p: forward first via XLA path
     fwd = np.asarray(rq_mod._fwd_fn(ctx, False)(x))
     out = np.asarray(

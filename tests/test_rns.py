@@ -62,18 +62,18 @@ def expected_scale(q: RnsContext, out_ctx: RnsContext, x, n, d):
 
 
 def rests_to_pairs(rests_cols):
-    """columns: list over coeffs of per-limb residues -> (k, 2, N) uint32."""
+    """columns: list over coeffs of per-limb residues -> (k, 2, S, L) u32."""
+    from tpufhe.ops.rq import pack_u64
+
     arr = np.array(rests_cols, dtype=np.uint64).T  # (k, N)
-    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    hi = (arr >> np.uint64(32)).astype(np.uint32)
-    return np.stack([lo, hi], axis=1)  # (k, 2, N)
+    return pack_u64(arr)
 
 
 def unpack_out(out):
-    """(k_out, 2, N) -> list over coeffs of per-limb ints."""
-    out = np.asarray(out)
-    vals = out[:, 0, :].astype(np.uint64) | (out[:, 1, :].astype(np.uint64) << np.uint64(32))
-    return vals.T  # (N, k_out)
+    """(k_out, 2, S, L) -> list over coeffs of per-limb ints."""
+    from tpufhe.ops.rq import unpack_u64
+
+    return unpack_u64(np.asarray(out)).T  # (N, k_out)
 
 
 @pytest.mark.parametrize("num", [1, 2, 1000, 4611686018326724610])

@@ -124,7 +124,7 @@ class KeySwitchingKey:
         c0 = Poly.zero(self.ctx_ksk, NTT)
         c1 = Poly.zero(self.ctx_ksk, NTT)
         for i in range(p.ctx.k):
-            digits = p.coeffs[..., i, :, :]
+            digits = p.coeffs[..., i, :, :, :]
             c2i = Poly(self.ctx_ksk, NTT, lift(digits), lazy=True)
             c0 = c0 + (c2i * self.c0[i])
             c1 = c1 + (c2i * self.c1[i])

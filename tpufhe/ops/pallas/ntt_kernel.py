@@ -113,10 +113,10 @@ def _ntt_kernel(scal_ref, x_ref, tw_ref, o_ref, *, n: int, lazy: bool,
     li = pl.program_id(0)
     p_pair = (scal_ref[li, 0], scal_ref[li, 1])
 
-    x = x_ref[...]  # (Bt, 1, 2, N)
+    x = x_ref[...]  # (Bt, 1, 2, S, 128)
     Bt = x.shape[0]
-    lo = x[:, 0, 0, :].reshape(Bt, S, 128)
-    hi = x[:, 0, 1, :].reshape(Bt, S, 128)
+    lo = x[:, 0, 0]
+    hi = x[:, 0, 1]
 
     p2_pair = u64.add64(p_pair, p_pair)
 
@@ -124,14 +124,8 @@ def _ntt_kernel(scal_ref, x_ref, tw_ref, o_ref, *, n: int, lazy: bool,
           else [1 << s for s in range(logn)])
     for s, l in enumerate(ls):
         mask = _stage_mask(l, S)[None, :, :]
-        w = (
-            tw_ref[0, s, 0, 0, :].reshape(1, S, 128),
-            tw_ref[0, s, 0, 1, :].reshape(1, S, 128),
-        )
-        ws = (
-            tw_ref[0, s, 1, 0, :].reshape(1, S, 128),
-            tw_ref[0, s, 1, 1, :].reshape(1, S, 128),
-        )
+        w = (tw_ref[0, s, 0, 0][None], tw_ref[0, s, 0, 1][None])
+        ws = (tw_ref[0, s, 1, 0][None], tw_ref[0, s, 1, 1][None])
         fwd, bwd = _partners(lo, hi, l)
         xr = _sel(mask, (lo, hi), bwd)   # block's x input at every position
         yr = _sel(mask, fwd, (lo, hi))   # block's y input at every position
@@ -157,15 +151,20 @@ def _ntt_kernel(scal_ref, x_ref, tw_ref, o_ref, *, n: int, lazy: bool,
     elif not lazy:
         lo, hi = zq.reduce1(zq.reduce1((lo, hi), p2_pair), p_pair)
 
-    out = jnp.stack([lo.reshape(Bt, n), hi.reshape(Bt, n)], axis=1)
-    o_ref[...] = out[:, None, :, :]
+    o_ref[...] = jnp.stack([lo, hi], axis=1)[:, None]
 
 
 def _pick_bt(batch: int, n: int) -> int:
-    """Batch tile: keep live kernel temporaries within the VMEM budget."""
-    budget = 8 * 1024 * 1024
+    """Batch tile: keep live kernel temporaries within the VMEM budget.
+
+    The scoped-VMEM stack holds the in/out blocks (double-buffered by the
+    grid pipeline), the twiddle block, and ~16 live uint32 planes of kernel
+    temporaries per batch row; 16 MiB is the hard per-core limit on v5e/v5p,
+    so budget conservatively.
+    """
+    budget = 4 * 1024 * 1024
     logn = n.bit_length() - 1
-    tables = logn * 4 * n * 4
+    tables = logn * 4 * n * 4 * 2  # double-buffered twiddle block
     per_row = 2 * n * 4 * 8  # ~16 live uint32 planes of length n
     bt = max(1, (budget - tables) // per_row)
     bt = min(bt, batch, 256)
@@ -178,6 +177,7 @@ def _pick_bt(batch: int, n: int) -> int:
 def _ntt_call(n: int, k: int, batch: int, lazy: bool, inverse: bool,
               interpret: bool):
     logn = n.bit_length() - 1
+    S = n // 128
     bt = _pick_bt(batch, n)
     grid = (k, batch // bt)
 
@@ -187,19 +187,21 @@ def _ntt_call(n: int, k: int, batch: int, lazy: bool, inverse: bool,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, 1, 2, n), lambda li, bi, *_: (bi, li, 0, 0),
+            pl.BlockSpec((bt, 1, 2, S, 128),
+                         lambda li, bi, *_: (bi, li, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, logn, 2, 2, n),
-                         lambda li, bi, *_: (li, 0, 0, 0, 0),
+            pl.BlockSpec((1, logn, 2, 2, S, 128),
+                         lambda li, bi, *_: (li, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt, 1, 2, n), lambda li, bi, *_: (bi, li, 0, 0),
+        out_specs=pl.BlockSpec((bt, 1, 2, S, 128),
+                               lambda li, bi, *_: (bi, li, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((batch, k, 2, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((batch, k, 2, S, 128), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
     )
@@ -210,9 +212,10 @@ def ntt_pallas(x, tables, scalars, lazy=False, inverse=False,
                interpret=False):
     """Run the fused NTT kernel.
 
-    x: (B, k, 2, N) uint32; tables: (k, n_stages, 2, 2, N) stage twiddle
-    vectors; scalars: (k, 6) uint32 per-limb constants (build_limb_scalars).
+    x: (B, k, 2, S, 128) uint32 lane-folded; tables: (k, n_stages, 2, 2, S,
+    128) stage twiddle vectors; scalars: (k, 6) uint32 per-limb constants
+    (build_limb_scalars).
     """
-    batch, k, _, n = x.shape
-    call = _ntt_call(n, k, batch, lazy, inverse, interpret)
+    batch, k, _, S, L = x.shape
+    call = _ntt_call(S * L, k, batch, lazy, inverse, interpret)
     return call(scalars, x, tables)

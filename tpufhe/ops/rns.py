@@ -131,8 +131,9 @@ def _extract_projection_and_theta(
 
 
 def _u64_pair_col(vals) -> tuple:
-    """list of ints -> (k, 1) u64-pair NUMPY arrays (trace-safe constants)."""
-    arr = np.array([int(v) for v in vals], dtype=np.uint64).reshape(-1, 1)
+    """list of ints -> (k, 1, 1) u64-pair NUMPY arrays (trace-safe constants,
+    broadcastable against lane-folded (..., k, S, L) residues)."""
+    arr = np.array([int(v) for v in vals], dtype=np.uint64).reshape(-1, 1, 1)
     return (
         (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
         (arr >> np.uint64(32)).astype(np.uint32),
@@ -297,18 +298,18 @@ class RnsScaler:
     def scale(self, rests, starting_index: int = 0, size: int | None = None):
         """Device scaling.
 
-        rests: (k_in, 2, N) uint32 (residues of each coefficient).
-        Returns (size, 2, N) uint32 — residues in the `to` base starting at
-        `starting_index`.
+        rests: (..., k_in, 2, S, L) uint32 lane-folded residues.
+        Returns (..., size, 2, S, L) uint32 — residues in the `to` base
+        starting at `starting_index`.
         """
         size = self._k_out - starting_index if size is None else size
         k_in = self._k_in
-        assert rests.shape[-3] == k_in
-        N = rests.shape[-1]
+        assert rests.shape[-4] == k_in
         c = self._device_consts
 
         r_pairs = [
-            (rests[..., i, 0, :], rests[..., i, 1, :]) for i in range(k_in)
+            (rests[..., i, 0, :, :], rests[..., i, 1, :, :])
+            for i in range(k_in)
         ]
         zero = jnp.zeros_like(r_pairs[0][0])
 
@@ -383,8 +384,8 @@ class RnsScaler:
         bl_s = slc(c["barrett_lo"])
         bh_s = slc(c["barrett_hi"])
 
-        # v mod q_j for each j: reduce_u128 of the 4-limb v, (..., 1, N) limbs
-        v_b = tuple(l[..., None, :] for l in v)
+        # v mod q_j for each j: reduce_u128 of the 4-limb v, (..., 1, S, L)
+        v_b = tuple(l[..., None, :, :] for l in v)
         v_red = zq.reduce_u128(v_b, bl_s, bh_s, p_s)  # (..., size, N) pairs
 
         t0 = zq.lazy_mul_shoup(v_red, slc(c["gamma"]), slc(c["gamma_shoup"]), p_s)
@@ -393,10 +394,10 @@ class RnsScaler:
         acc128 = (y[0], y[1], zero_y, zero_y)
 
         if not self.factor.is_one:
-            w_b = tuple(l[..., None, :] for l in w_pairs)
+            w_b = tuple(l[..., None, :, :] for l in w_pairs)
             w_lazy = zq.lazy_reduce_u128(w_b, bl_s, bh_s, p_s)  # < 2p
             neg_w = u64.sub64(p2_s, w_lazy)
-            ws = w_sign[..., None, :]
+            ws = w_sign[..., None, :, :]
             term = (
                 jnp.where(ws, neg_w[0], w_lazy[0]),
                 jnp.where(ws, neg_w[1], w_lazy[1]),
@@ -405,12 +406,12 @@ class RnsScaler:
 
         for i in range(k_in):
             om, oms = c["omega_cols"][i]
-            r = (r_pairs[i][0][..., None, :], r_pairs[i][1][..., None, :])
+            r = (r_pairs[i][0][..., None, :, :], r_pairs[i][1][..., None, :, :])
             term = zq.lazy_mul_shoup(r, slc(om), slc(oms), p_s)
             acc128 = _acc128_add64(acc128, term)
 
         out = zq.reduce_u128(acc128, bl_s, bh_s, p_s)
-        return jnp.stack([out[0], out[1]], axis=-2)
+        return jnp.stack([out[0], out[1]], axis=-3)
 
 
 def _acc128_add64(acc, term):

@@ -4,9 +4,11 @@ Behavioral parity with fhe-math/src/rq/ (Context, Poly with
 PowerBasis/Ntt/NttShoup representations, Galois substitution, modulus
 switch-down, Scaler/Switcher, dot products), redesigned TPU-first:
 
-- Coefficients live in a single uint32 array shaped (..., k, 2, N): leading
-  batch dims give batch-of-ciphertexts vectorization for free, k is the RNS
-  limb axis (shardable over a mesh), plane axis = (lo, hi) 32-bit halves.
+- Coefficients live in a single uint32 array shaped (..., k, 2, S, L) with
+  (S, L) = (N/128, 128): leading batch dims give batch-of-ciphertexts
+  vectorization for free, k is the RNS limb axis (shardable over a mesh),
+  plane axis = (lo, hi) 32-bit halves, and the degree axis is lane-folded so
+  the TPU tiles every elementwise fusion at full (8, 128) occupancy.
 - Polys are immutable pytrees; representation is a static tag checked at
   trace time (the reference's typestate, rq/mod.rs:50-84).
 - Per-context device programs are jit-compiled once and cached (twiddles and
@@ -38,21 +40,44 @@ POWER_BASIS = "power"
 NTT = "ntt"
 NTT_SHOUP = "ntt_shoup"
 
+# TPU vector registers tile the last two dims as (8 sublanes, 128 lanes).
+# Coefficient arrays therefore fold the degree axis into (N/128, 128) so
+# every elementwise fusion runs at full sublane occupancy; with the flat
+# (..., 2, N) trailing shape XLA tiles T(2,128) and wastes 6/8 sublanes.
+LANES = 128
+
+
+def lane_shape(n: int) -> tuple:
+    """Folded trailing shape (S, L) of the degree axis."""
+    return (n // LANES, LANES) if n % LANES == 0 else (1, n)
+
 
 def pack_u64(mat: np.ndarray) -> np.ndarray:
-    """uint64 array (..., N) -> uint32 (..., 2, N)."""
+    """uint64 array (..., N) -> uint32 (..., 2, S, L) lane-folded."""
     mat = np.asarray(mat, dtype=np.uint64)
     lo = (mat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (mat >> np.uint64(32)).astype(np.uint32)
-    return np.stack([lo, hi], axis=-2)
+    arr = np.stack([lo, hi], axis=-2)
+    return arr.reshape(arr.shape[:-1] + lane_shape(arr.shape[-1]))
 
 
 def unpack_u64(arr) -> np.ndarray:
-    """uint32 (..., 2, N) -> uint64 (..., N)."""
+    """uint32 (..., 2, S, L) -> uint64 (..., N)."""
     arr = np.asarray(arr)
+    arr = arr.reshape(arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],))
     return arr[..., 0, :].astype(np.uint64) | (
         arr[..., 1, :].astype(np.uint64) << np.uint64(32)
     )
+
+
+def _pl(a):
+    """Plane split: (..., 2, S, L) -> ((..., S, L) lo, (..., S, L) hi)."""
+    return a[..., 0, :, :], a[..., 1, :, :]
+
+
+def _st(r):
+    """Plane join: ((..., S, L), (..., S, L)) -> (..., 2, S, L)."""
+    return jnp.stack([r[0], r[1]], axis=-3)
 
 
 def _pairs_col(vals) -> tuple:
@@ -163,11 +188,15 @@ class _DeviceConsts:
         self.p2 = _pairs_col([2 * m for m in ctx.moduli])
         self.barrett_lo = _pairs_col([q.barrett_lo for q in ctx.q])
         self.barrett_hi = _pairs_col([q.barrett_hi for q in ctx.q])
-        self.omegas = np.stack([pack_u64(o.omegas) for o in ctx.ops])  # (k,2,n)
-        self.omegas_shoup = np.stack([pack_u64(o.omegas_shoup) for o in ctx.ops])
-        self.zetas_inv = np.stack([pack_u64(o.zetas_inv) for o in ctx.ops])
+        # flat (k, 2, n) twiddles for the XLA NTT path
+        def _flatpack(v):
+            return pack_u64(v).reshape(2, -1)
+
+        self.omegas = np.stack([_flatpack(o.omegas) for o in ctx.ops])
+        self.omegas_shoup = np.stack([_flatpack(o.omegas_shoup) for o in ctx.ops])
+        self.zetas_inv = np.stack([_flatpack(o.zetas_inv) for o in ctx.ops])
         self.zetas_inv_shoup = np.stack(
-            [pack_u64(o.zetas_inv_shoup) for o in ctx.ops]
+            [_flatpack(o.zetas_inv_shoup) for o in ctx.ops]
         )
         self.ninv = _pairs_col([o.size_inv for o in ctx.ops])
         self.ninv_shoup = _pairs_col([o.size_inv_shoup for o in ctx.ops])
@@ -178,12 +207,16 @@ class _DeviceConsts:
             self.inv_last_shoup = _pairs_col(ctx.inv_last_qi_mod_qj_shoup)
 
     def stage_tables(self, inverse: bool):
-        """Per-lane stage twiddle tables for the Pallas NTT, (k, logN, 2, 2, N)."""
+        """Per-lane stage twiddle tables for the Pallas NTT,
+        (k, logN, 2, 2, S, L) lane-folded."""
         if inverse not in self._stage_tables:
             from tpufhe.ops.pallas.ntt_kernel import build_stage_tables
 
-            self._stage_tables[inverse] = np.stack(
+            t = np.stack(
                 [build_stage_tables(op, inverse) for op in self._ctx.ops]
+            )
+            self._stage_tables[inverse] = t.reshape(
+                t.shape[:-1] + lane_shape(t.shape[-1])
             )
         return self._stage_tables[inverse]
 
@@ -215,9 +248,18 @@ def _pallas_ok(ctx: Context) -> bool:
         return False
 
 
+def _unfold(coeffs):
+    """(..., 2, S, L) -> (..., 2, N) for the flat XLA NTT path."""
+    return coeffs.reshape(coeffs.shape[:-2] + (-1,))
+
+
+def _fold(coeffs):
+    return coeffs.reshape(coeffs.shape[:-1] + lane_shape(coeffs.shape[-1]))
+
+
 def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
                     limb_slice: slice | None = None):
-    """Forward NTT on (..., k, 2, N), Pallas-fused on TPU, XLA otherwise.
+    """Forward NTT on (..., k, 2, S, L), Pallas-fused on TPU, XLA otherwise.
 
     limb_slice restricts to a contiguous subset of the context's limbs
     (the Scaler's partial forward on rows ncm..k_out).
@@ -227,35 +269,36 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
-        lead = coeffs.shape[:-3]
-        x = coeffs.reshape((-1,) + coeffs.shape[-3:])
+        lead = coeffs.shape[:-4]
+        x = coeffs.reshape((-1,) + coeffs.shape[-4:])
         out = ntt_pallas(
             x, ctx.dev.stage_tables(False)[sl], ctx.dev.limb_scalars()[sl],
             lazy=lazy,
         )
-        return out.reshape(lead + out.shape[-3:])
-    return ntt_mod.forward(
-        coeffs, d.omegas[sl], d.omegas_shoup[sl],
+        return out.reshape(lead + out.shape[-4:])
+    return _fold(ntt_mod.forward(
+        _unfold(coeffs), d.omegas[sl], d.omegas_shoup[sl],
         (d.p[0][sl], d.p[1][sl]), (d.p2[0][sl], d.p2[1][sl]), lazy=lazy,
-    )
+    ))
 
 
 def ntt_backward_any(ctx: Context, coeffs):
-    """Inverse NTT on (..., k, 2, N), Pallas-fused on TPU, XLA otherwise."""
+    """Inverse NTT on (..., k, 2, S, L), Pallas-fused on TPU, XLA otherwise."""
     d = ctx.dev
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
-        lead = coeffs.shape[:-3]
-        x = coeffs.reshape((-1,) + coeffs.shape[-3:])
+        lead = coeffs.shape[:-4]
+        x = coeffs.reshape((-1,) + coeffs.shape[-4:])
         out = ntt_pallas(
             x, ctx.dev.stage_tables(True), ctx.dev.limb_scalars(),
             inverse=True,
         )
-        return out.reshape(lead + out.shape[-3:])
-    return ntt_mod.backward(
-        coeffs, d.zetas_inv, d.zetas_inv_shoup, d.ninv, d.ninv_shoup, d.p, d.p2
-    )
+        return out.reshape(lead + out.shape[-4:])
+    return _fold(ntt_mod.backward(
+        _unfold(coeffs), d.zetas_inv, d.zetas_inv_shoup, d.ninv, d.ninv_shoup,
+        d.p, d.p2,
+    ))
 
 
 @lru_cache(maxsize=None)
@@ -281,7 +324,8 @@ def _bwd_fn(ctx: Context):
 
 
 def _exp2(pair):
-    return pair[0][..., None], pair[1][..., None]
+    """Per-limb (k,) constants -> (k, 1, 1), broadcastable vs (..., k, S, L)."""
+    return pair[0][..., None, None], pair[1][..., None, None]
 
 
 @lru_cache(maxsize=None)
@@ -292,8 +336,8 @@ def _binop_fn(ctx: Context, op: str):
 
     @jax.jit
     def f(a, b):
-        pa = (a[..., 0, :], a[..., 1, :])
-        pb = (b[..., 0, :], b[..., 1, :])
+        pa = _pl(a)
+        pb = _pl(b)
         if op == "add":
             r = zq.add_mod(pa, pb, p)
         elif op == "sub":
@@ -302,7 +346,7 @@ def _binop_fn(ctx: Context, op: str):
             r = zq.mul_mod(pa, pb, bl, bh, p)
         else:
             raise ValueError(op)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -315,11 +359,11 @@ def _mul_shoup_fn(ctx: Context, reduce_from_lazy: bool):
 
     @jax.jit
     def f(a, b, b_shoup):
-        pa = (a[..., 0, :], a[..., 1, :])
-        pb = (b[..., 0, :], b[..., 1, :])
-        pbs = (b_shoup[..., 0, :], b_shoup[..., 1, :])
+        pa = _pl(a)
+        pb = _pl(b)
+        pbs = _pl(b_shoup)
         r = zq.mul_shoup(pa, pb, pbs, p)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -331,9 +375,9 @@ def _neg_fn(ctx: Context):
 
     @jax.jit
     def f(a):
-        pa = (a[..., 0, :], a[..., 1, :])
+        pa = _pl(a)
         r = zq.neg_mod(pa, p)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -357,7 +401,7 @@ def _shoup_of_fn(ctx: Context):
 
     @jax.jit
     def f(a):
-        pa = (a[..., 0, :], a[..., 1, :])
+        pa = _pl(a)
         zero = jnp.zeros_like(pa[0])
         a128 = (zero, zero, pa[0], pa[1])  # a * 2^64
         r_lazy = zq.lazy_reduce_u128(a128, bl, bh, p)
@@ -365,7 +409,7 @@ def _shoup_of_fn(ctx: Context):
         q_prime = u64.mul64_lo(neg_r, p_inv_pair)
         corr = u64.ge64(r_lazy, p).astype(U32)
         q = u64.add64(q_prime, (corr, zero))
-        return jnp.stack([q[0], q[1]], axis=-2)
+        return _st(q)
 
     return f
 
@@ -379,9 +423,9 @@ def _scalar_mul_fn(ctx: Context):
     @jax.jit
     def f(a, s, s_shoup):
         # s, s_shoup: (k,) pairs expanded to (k, 1)
-        pa = (a[..., 0, :], a[..., 1, :])
+        pa = _pl(a)
         r = zq.mul_shoup(pa, _exp2(s), _exp2(s_shoup), p)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -395,9 +439,9 @@ def _reduce_u64_fn(ctx: Context):
 
     @jax.jit
     def f(a):
-        pa = (a[..., 0, :], a[..., 1, :])
+        pa = _pl(a)
         r = zq.reduce_u64(pa, bl, bh, p)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -411,9 +455,8 @@ def _reduce_i64_fn(ctx: Context):
 
     @jax.jit
     def f(a):
-        return jnp.stack(
-            list(zq.reduce_i64(a[..., 0, :], a[..., 1, :], bl, bh, p)), axis=-2
-        )
+        pa = _pl(a)
+        return _st(zq.reduce_i64(pa[0], pa[1], bl, bh, p))
 
     return f
 
@@ -427,9 +470,9 @@ def _lazy_reduce_fn(ctx: Context):
 
     @jax.jit
     def f(a):
-        pa = (a[..., 0, :], a[..., 1, :])
+        pa = _pl(a)
         r = zq.lazy_reduce(pa, bl, bh, p)
-        return jnp.stack([r[0], r[1]], axis=-2)
+        return _st(r)
 
     return f
 
@@ -464,18 +507,18 @@ def _switch_down_fn(ctx: Context):
 
     @jax.jit
     def f(coeffs):
-        rest = coeffs[..., :km1, :, :]
-        last = coeffs[..., km1:, :, :]
-        p_last = (last[..., 0, :], last[..., 1, :])
+        rest = coeffs[..., :km1, :, :, :]
+        last = coeffs[..., km1:, :, :, :]
+        p_last = _pl(last)
         # add (q_last)/2 for rounding
         p_last = zq.add_mod(p_last, qld2_pair, q_last_pair)
         # per remaining limb: tmp = lazy_reduce(x_last) + (q_i - q_last/2 mod q_i)
-        tmp = zq.lazy_reduce(p_last, bl, bh, p_rest2)  # broadcast (k-1, N)
+        tmp = zq.lazy_reduce(p_last, bl, bh, p_rest2)  # broadcast (k-1, S, L)
         tmp = u64.add64(tmp, qld2_mod)  # < 3 q_i
-        x = (rest[..., 0, :], rest[..., 1, :])
+        x = _pl(rest)
         x = u64.add64(x, u64.sub64(p3, tmp))  # < 4 q_i
         x = zq.mul_shoup(x, inv, inv_shoup, p_rest2)
-        return jnp.stack([x[0], x[1]], axis=-2)
+        return _st(x)
 
     return f
 
@@ -494,10 +537,10 @@ def _lazy_const_ntt_fn(ctx: Context):
 
     @jax.jit
     def f(digits):
-        # digits: (..., 2, N) u32 -> broadcast over limb axis
-        pa = (digits[..., None, 0, :], digits[..., None, 1, :])
+        # digits: (..., 2, S, L) u32 -> broadcast over limb axis
+        pa = (digits[..., None, 0, :, :], digits[..., None, 1, :, :])
         r = zq.lazy_reduce(pa, bl, bh, p)
-        arr = jnp.stack([r[0], r[1]], axis=-2)
+        arr = _st(r)
         return ntt_forward_any(ctx, arr, lazy=True)
 
     return f
@@ -537,7 +580,7 @@ class Poly:
 
     @staticmethod
     def zero(ctx: Context, representation: str = POWER_BASIS, batch=()) -> "Poly":
-        shape = tuple(batch) + (ctx.k, 2, ctx.degree)
+        shape = tuple(batch) + (ctx.k, 2) + lane_shape(ctx.degree)
         coeffs = jnp.zeros(shape, dtype=jnp.uint32)
         shoup = coeffs if representation == NTT_SHOUP else None
         return Poly(ctx, representation, coeffs, shoup)
@@ -587,11 +630,9 @@ class Poly:
         (rq/convert.rs TryConvertFrom<&[i64]>)."""
         v = np.zeros(ctx.degree, dtype=np.int64)
         v[: len(coeffs)] = np.asarray(coeffs, dtype=np.int64)
-        u = v.astype(np.uint64)
-        lo = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (u >> np.uint64(32)).astype(np.uint32)
         arr = np.broadcast_to(
-            np.stack([lo, hi], axis=0), (ctx.k, 2, ctx.degree)
+            pack_u64(v.astype(np.uint64)),
+            (ctx.k, 2) + lane_shape(ctx.degree),
         )
         return Poly(ctx, POWER_BASIS, _reduce_i64_fn(ctx)(jnp.asarray(arr)))
 
@@ -601,7 +642,7 @@ class Poly:
         v = np.zeros(ctx.degree, dtype=np.uint64)
         cs = np.asarray(coeffs, dtype=np.uint64)
         v[: len(cs)] = cs
-        arr = np.broadcast_to(pack_u64(v), (ctx.k, 2, ctx.degree))
+        arr = np.broadcast_to(pack_u64(v), (ctx.k, 2) + lane_shape(ctx.degree))
         return Poly(ctx, POWER_BASIS, _reduce_u64_fn(ctx)(jnp.asarray(arr)))
 
     @staticmethod
@@ -697,19 +738,25 @@ class Poly:
 
     def substitute(self, exp: "SubstitutionExponent") -> "Poly":
         assert exp.ctx is self.ctx
+
+        def take_fold(arr, perm):
+            return _fold(jnp.take(_unfold(arr), perm, axis=-1))
+
         if self.representation in (NTT, NTT_SHOUP):
             perm = jnp.asarray(exp.perm_ntt)
-            out = jnp.take(self.coeffs, perm, axis=-1)
+            out = take_fold(self.coeffs, perm)
             shoup = (
-                jnp.take(self.coeffs_shoup, perm, axis=-1)
+                take_fold(self.coeffs_shoup, perm)
                 if self.coeffs_shoup is not None
                 else None
             )
             return replace(self, coeffs=out, coeffs_shoup=shoup)
         # power basis: out[t] = sign[t] * in[src[t]]
-        gathered = jnp.take(self.coeffs, jnp.asarray(exp.perm_power), axis=-1)
+        gathered = take_fold(self.coeffs, jnp.asarray(exp.perm_power))
         neg = _neg_fn(self.ctx)(gathered)
-        sign = jnp.asarray(exp.sign_power)  # (N,) bool, True = negate
+        sign = jnp.asarray(
+            exp.sign_power.reshape(lane_shape(self.ctx.degree))
+        )  # (S, L) bool, True = negate
         out = jnp.where(sign, neg, gathered)
         return Poly(self.ctx, POWER_BASIS, out)
 
@@ -742,9 +789,9 @@ class Poly:
             index = shift + k
             src[index & (n - 1)] = k
             sign[index & (n - 1)] = (index & n) != 0
-        gathered = jnp.take(self.coeffs, jnp.asarray(src), axis=-1)
+        gathered = _fold(jnp.take(_unfold(self.coeffs), jnp.asarray(src), axis=-1))
         neg = _neg_fn(self.ctx)(gathered)
-        out = jnp.where(jnp.asarray(sign), neg, gathered)
+        out = jnp.where(jnp.asarray(sign.reshape(lane_shape(n))), neg, gathered)
         return Poly(self.ctx, POWER_BASIS, out)
 
     # -- data access --
@@ -765,7 +812,7 @@ class Poly:
 
     @property
     def batch_shape(self):
-        return self.coeffs.shape[:-3]
+        return self.coeffs.shape[:-4]
 
 
 class SubstitutionExponent:
@@ -841,7 +888,7 @@ class Scaler:
 
         parts = []
         if ncm > 0:
-            parts.append(p.coeffs[..., :ncm, :, :])
+            parts.append(p.coeffs[..., :ncm, :, :, :])
         if ncm < k_out:
             pb = p if rep == POWER_BASIS else p.into_power_basis()
             scaled = self.rns_scaler.scale(
@@ -853,7 +900,7 @@ class Scaler:
                     self.to_ctx, scaled, limb_slice=slice(ncm, k_out)
                 )
             parts.append(scaled)
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-3)
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-4)
         return Poly(self.to_ctx, rep, out)
 
 
@@ -893,15 +940,12 @@ def dot_product(ps: list, qs: list) -> Poly:
     )
     max_acc = max(max_acc, 2)
 
-    first = ps[0].coeffs
-    zero = jnp.zeros(first.shape[:-2] + (first.shape[-1],), dtype=jnp.uint32)
+    zero = jnp.zeros_like(ps[0].coeffs[..., 0, :, :])
     acc = (zero, zero, zero, zero)
     num = 0
     for i in range(count):
         a, b = ps[i], qs[i]
-        pa = (a.coeffs[..., 0, :], a.coeffs[..., 1, :])
-        pb = (b.coeffs[..., 0, :], b.coeffs[..., 1, :])
-        acc = u64.mp_mul_pair(acc, pa, pb)
+        acc = u64.mp_mul_pair(acc, _pl(a.coeffs), _pl(b.coeffs))
         num += 1
         if num >= max_acc - 1:
             r = zq.reduce_u128(acc, bl, bh, p2)
@@ -909,5 +953,4 @@ def dot_product(ps: list, qs: list) -> Poly:
             acc = (r[0], r[1], z, z)
             num = 1
     out = zq.reduce_u128(acc, bl, bh, p2)
-    arr = jnp.stack([out[0], out[1]], axis=-2)
-    return Poly(ctx, NTT, arr)
+    return Poly(ctx, NTT, _st(out))

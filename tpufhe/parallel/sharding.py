@@ -20,7 +20,7 @@ def batch_limb_mesh(n_batch: int, n_limb: int, devices=None) -> Mesh:
 
 def ct_sharding(mesh: Mesh, limb_sharded: bool = True) -> NamedSharding:
     """Sharding for (B, k, 2, N) ciphertext-batch arrays."""
-    spec = P("batch", "limb" if limb_sharded else None, None, None)
+    spec = P("batch", "limb" if limb_sharded else None, None, None, None)
     return NamedSharding(mesh, spec)
 
 

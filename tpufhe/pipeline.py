@@ -8,6 +8,22 @@ as single jitted functions over raw coefficient arrays with every constant
 batch dimensions vectorize batches of ciphertexts; under a mesh, batch and
 limb axes shard via jax.sharding and XLA inserts the collectives.
 
+Dispatch-count discipline (this is what the profile said matters): every
+NTT/iNTT in an operation is batched into as few Pallas calls as possible by
+stacking polynomials along the leading batch axis —
+- extend: all 4 input polys share one iNTT and one forward-NTT call;
+- down-scale: c0/c1/c2 share one iNTT; only c0/c1 are forward-transformed
+  (c2 is consumed in power basis by the key switch, so the reference's
+  NTT-then-iNTT round trip on c2 — ops/mod.rs:326-332 followed by
+  relinearization_key.rs:81 — is elided; both transforms are exact bijections
+  so the result is bit-identical);
+- key switch: all k decomposition rows are lifted in one lazy-NTT call
+  (key_switching_key.rs:214-241).
+
+Key material is embedded as NUMPY constants: XLA bakes those into the
+executable's device image once, whereas captured jax.Array constants were
+measured to re-stage per execution on this runtime.
+
 This is the production serving path and the unit the driver benchmarks
 (SURVEY.md section 2.9, BASELINE north star).
 """
@@ -18,9 +34,76 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpufhe.bfv.parameters import BfvParameters
-from tpufhe.ops.rq import NTT, POWER_BASIS, Poly, _lazy_const_ntt_fn
+from tpufhe.ops import u64, zq
+from tpufhe.ops.rq import (
+    NTT,
+    POWER_BASIS,
+    Poly,
+    _exp2,
+    _fold,
+    _unfold,
+    lane_shape,
+    ntt_backward_any,
+    ntt_forward_any,
+)
+
+
+def _np_pairs(arr) -> np.ndarray:
+    """Device array -> numpy (so jit embeds it as a baked literal)."""
+    return np.asarray(arr)
+
+
+def _pairs(a):
+    return (a[..., 0, :, :], a[..., 1, :, :])
+
+
+def _stack(r):
+    return jnp.stack([r[0], r[1]], axis=-3)
+
+
+def _ksk_consts(ksk):
+    """Key-switching key material as numpy constants."""
+    c0 = [(_np_pairs(p.coeffs), _np_pairs(p.coeffs_shoup)) for p in ksk.c0]
+    c1 = [(_np_pairs(p.coeffs), _np_pairs(p.coeffs_shoup)) for p in ksk.c1]
+    return c0, c1
+
+
+def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
+    """Garner-decomposition key switch on power-basis coeffs (..., k, 2, N).
+
+    Lifts every decomposition row in ONE lazy forward NTT, then accumulates
+    sum_i d_i * ksk.c{0,1}_i with Shoup products (key_switching_key.rs:214-241).
+    """
+    d = ctx.dev
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+    k = ctx.k
+
+    # (k, ..., 2, S, L): row i broadcast to every limb, lazy-reduced to [0, 2p)
+    digits = jnp.moveaxis(c2_pb, -4, 0)[..., None, :, :, :]
+    dp = _pairs(digits)
+    r = zq.lazy_reduce(dp, bl, bh, p)  # broadcasts limb axis to k
+    lifted = _stack(r)
+    lifted = jnp.broadcast_to(
+        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + lane_shape(ctx.degree)
+    )
+    lifted = ntt_forward_any(ctx, lifted, lazy=True)  # ONE pallas call
+
+    acc0 = None
+    acc1 = None
+    for i in range(k):
+        di = _pairs(lifted[i])
+        t0 = zq.mul_shoup(di, _pairs(ksk_c0[i][0]), _pairs(ksk_c0[i][1]), p)
+        t1 = zq.mul_shoup(di, _pairs(ksk_c1[i][0]), _pairs(ksk_c1[i][1]), p)
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = zq.add_mod(acc0, t0, p)
+            acc1 = zq.add_mod(acc1, t1, p)
+    return _stack(acc0), _stack(acc1)
 
 
 def make_mul_relin(par: BfvParameters, rk, level: int = 0):
@@ -28,29 +111,54 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
 
     Implements extend -> tensor -> down-scale (ops/mod.rs:259-341) followed
     by the garner-decomposition key switch (key_switching_key.rs:214-241)
-    in ONE XLA program.
+    in ONE XLA program with exactly 5 Pallas NTT calls.
     """
     ctx_lvl = par.context_level_at(level)
     ctx = ctx_lvl.poly_context
     mp = ctx_lvl.mul_params()
     ksk = rk.ksk
     assert ksk.ciphertext_level == level and ksk.ksk_level == level
+    ctx_mul = mp.extender.to_ctx
+    k, k_mul = ctx.k, ctx_mul.k
+    ext_rns = mp.extender.rns_scaler
+    down_rns = mp.down_scaler.rns_scaler
+    assert mp.extender.number_common_moduli == k
+    p_mul = _exp2(ctx_mul.dev.p)
+    bl_mul = _exp2(ctx_mul.dev.barrett_lo)
+    bh_mul = _exp2(ctx_mul.dev.barrett_hi)
+    p_ct = _exp2(ctx.dev.p)
+    ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
     def step(a0, a1, b0, b1):
-        ca = [Poly(ctx, NTT, a0), Poly(ctx, NTT, a1)]
-        cb = [Poly(ctx, NTT, b0), Poly(ctx, NTT, b1)]
-        a_ext = [mp.extender.scale(p) for p in ca]
-        b_ext = [mp.extender.scale(p) for p in cb]
-        c0 = a_ext[0] * b_ext[0]
-        c1 = (a_ext[0] * b_ext[1]) + (a_ext[1] * b_ext[0])
-        c2 = a_ext[1] * b_ext[1]
-        c0 = mp.down_scaler.scale(c0)
-        c1 = mp.down_scaler.scale(c1)
-        c2 = mp.down_scaler.scale(c2)
-        ks0, ks1 = ksk.key_switch(c2.into_power_basis())
-        out0 = c0 + ks0
-        out1 = c1 + ks1
-        return out0.coeffs, out1.coeffs
+        x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2, N)
+        # extend to the multiplication basis (ops/mod.rs:307-317)
+        x_pb = ntt_backward_any(ctx, x)
+        new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
+        new_rows = ntt_forward_any(ctx_mul, new_rows,
+                                   limb_slice=slice(k, k_mul))
+        ext = jnp.concatenate([x, new_rows], axis=-4)  # (4, ..., k_mul, 2, N)
+        a0e, a1e, b0e, b1e = (_pairs(ext[i]) for i in range(4))
+
+        # tensor product (ops/mod.rs:318-325)
+        c0 = zq.mul_mod(a0e, b0e, bl_mul, bh_mul, p_mul)
+        c1 = zq.add_mod(
+            zq.mul_mod(a0e, b1e, bl_mul, bh_mul, p_mul),
+            zq.mul_mod(a1e, b0e, bl_mul, bh_mul, p_mul),
+            p_mul,
+        )
+        c2 = zq.mul_mod(a1e, b1e, bl_mul, bh_mul, p_mul)
+        t = jnp.stack([_stack(c0), _stack(c1), _stack(c2)])
+
+        # down-scale by t/q (ops/mod.rs:326-332)
+        t_pb = ntt_backward_any(ctx_mul, t)
+        dsc = down_rns.scale(t_pb, starting_index=0, size=k)  # power basis
+        c01 = ntt_forward_any(ctx, dsc[:2])
+
+        # relinearize c2 (relinearization_key.rs:71-98)
+        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
+        out0 = zq.add_mod(_pairs(c01[0]), _pairs(ks0), p_ct)
+        out1 = zq.add_mod(_pairs(c01[1]), _pairs(ks1), p_ct)
+        return _stack(out0), _stack(out1)
 
     return jax.jit(step)
 
@@ -61,19 +169,39 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
     ctx = ctx_lvl.poly_context
     mp = ctx_lvl.mul_params()
     ksk = rk.ksk
+    ctx_mul = mp.extender.to_ctx
+    k, k_mul = ctx.k, ctx_mul.k
+    ext_rns = mp.extender.rns_scaler
+    down_rns = mp.down_scaler.rns_scaler
+    p_mul = _exp2(ctx_mul.dev.p)
+    bl_mul = _exp2(ctx_mul.dev.barrett_lo)
+    bh_mul = _exp2(ctx_mul.dev.barrett_hi)
+    p_ct = _exp2(ctx.dev.p)
+    ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
     def step(a0, a1):
-        ca = [Poly(ctx, NTT, a0), Poly(ctx, NTT, a1)]
-        a_ext = [mp.extender.scale(p) for p in ca]
-        c0 = a_ext[0] * a_ext[0]
-        c1 = a_ext[0] * a_ext[1]
-        c1 = c1 + c1
-        c2 = a_ext[1] * a_ext[1]
-        c0 = mp.down_scaler.scale(c0)
-        c1 = mp.down_scaler.scale(c1)
-        c2 = mp.down_scaler.scale(c2)
-        ks0, ks1 = ksk.key_switch(c2.into_power_basis())
-        return (c0 + ks0).coeffs, (c1 + ks1).coeffs
+        x = jnp.stack([a0, a1])
+        x_pb = ntt_backward_any(ctx, x)
+        new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
+        new_rows = ntt_forward_any(ctx_mul, new_rows,
+                                   limb_slice=slice(k, k_mul))
+        ext = jnp.concatenate([x, new_rows], axis=-4)
+        a0e, a1e = _pairs(ext[0]), _pairs(ext[1])
+
+        c0 = zq.mul_mod(a0e, a0e, bl_mul, bh_mul, p_mul)
+        c1 = zq.mul_mod(a0e, a1e, bl_mul, bh_mul, p_mul)
+        c1 = zq.add_mod(c1, c1, p_mul)
+        c2 = zq.mul_mod(a1e, a1e, bl_mul, bh_mul, p_mul)
+        t = jnp.stack([_stack(c0), _stack(c1), _stack(c2)])
+
+        t_pb = ntt_backward_any(ctx_mul, t)
+        dsc = down_rns.scale(t_pb, starting_index=0, size=k)
+        c01 = ntt_forward_any(ctx, dsc[:2])
+
+        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
+        out0 = zq.add_mod(_pairs(c01[0]), _pairs(ks0), p_ct)
+        out1 = zq.add_mod(_pairs(c01[1]), _pairs(ks1), p_ct)
+        return _stack(out0), _stack(out1)
 
     return jax.jit(step)
 
@@ -87,12 +215,13 @@ def make_decrypt_phase(par: BfvParameters, sk, level: int = 0):
     ctx = par.context_at_level(level)
     ctx_lvl = par.context_level_at(level)
     s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
+    s_np = _np_pairs(s.coeffs)
     scaler = ctx_lvl.cipher_plain_context.scaler
 
     def step(c0, c1):
         p0 = Poly(ctx, NTT, c0)
         p1 = Poly(ctx, NTT, c1)
-        phase = p0 + (p1 * s)
+        phase = p0 + (p1 * Poly(ctx, NTT, jnp.asarray(s_np)))
         d = scaler.scale(phase.into_power_basis())
         return d.coeffs
 
@@ -105,12 +234,13 @@ def make_encrypt_with_seed_expansion(par: BfvParameters, sk, level: int = 0):
     Sampling stays host-side (ChaCha8 parity), the arithmetic fuses."""
     ctx = par.context_at_level(level)
     s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
+    s_np = _np_pairs(s.coeffs)
 
     def step(a, e, m):
         pa = Poly(ctx, NTT, a)
         pe = Poly(ctx, NTT, e)
         pm = Poly(ctx, NTT, m)
-        b = (pe - (pa * s)) + pm
+        b = (pe - (pa * Poly(ctx, NTT, jnp.asarray(s_np)))) + pm
         return b.coeffs
 
     return jax.jit(step)
@@ -121,14 +251,17 @@ def make_rotate(par: BfvParameters, gk, level: int = 0):
     ctx = par.context_at_level(level)
     element = gk.element
     ksk = gk.ksk
+    ksk_c0, ksk_c1 = _ksk_consts(ksk)
+    perm = np.asarray(element.perm_ntt)
+    p_ct = _exp2(ctx.dev.p)
 
     def step(c0, c1):
-        p0 = Poly(ctx, NTT, c0)
-        p1 = Poly(ctx, NTT, c1)
-        c2 = p1.substitute(element).into_power_basis()
-        k0, k1 = ksk.key_switch(c2)
-        out0 = k0 + p0.substitute(element)
-        return out0.coeffs, k1.coeffs
+        s0 = _fold(jnp.take(_unfold(c0), jnp.asarray(perm), axis=-1))
+        s1 = _fold(jnp.take(_unfold(c1), jnp.asarray(perm), axis=-1))
+        c2_pb = ntt_backward_any(ctx, s1)
+        ks0, ks1 = _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1)
+        out0 = zq.add_mod(_pairs(ks0), _pairs(s0), p_ct)
+        return _stack(out0), ks1
 
     return jax.jit(step)
 
