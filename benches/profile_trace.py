@@ -41,6 +41,8 @@ def main():
     rk = RelinearizationKey.new(sk, rng)
     fn = make_mul_relin(par, rk)
 
+    from tpufhe.ops.rq import pack_u64
+
     ctx = par.context_at_level(0)
     nprng = np.random.default_rng(0)
     arrs = []
@@ -48,9 +50,7 @@ def main():
         mat = np.stack(
             [nprng.integers(0, m, size=(batch, degree), dtype=np.uint64)
              for m in ctx.moduli], axis=1)
-        lo = (mat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (mat >> np.uint64(32)).astype(np.uint32)
-        arrs.append(jax.device_put(np.stack([lo, hi], axis=2)))
+        arrs.append(jax.device_put(pack_u64(mat)))
 
     a0, a1, b0, b1 = arrs
     out = fn(a0, a1, b0, b1)

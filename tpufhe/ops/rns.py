@@ -269,14 +269,14 @@ class RnsScaler:
 
     def _build_device_consts(self):
         # numpy-only constants: safe to embed in any trace without leaking
+
+        def digits(x: int, n: int = 8) -> list:
+            return [(int(x) >> (16 * i)) & 0xFFFF for i in range(n)]
+
         c = {}
-        c["tg_limbs"] = [
-            list(_u128_limbs(tg)) for tg in self.theta_garner
-        ]
-        c["to_limbs"] = [
-            list(_u128_limbs(to)) for to in self.theta_omega
-        ]
-        c["tgamma_limbs"] = list(_u128_limbs(self.theta_gamma))
+        c["tg_digits"] = [digits(tg) for tg in self.theta_garner]
+        c["to_digits"] = [digits(to) for to in self.theta_omega]
+        c["tgamma_digits"] = digits(self.theta_gamma)
         c["gamma"] = _u64_pair_col(self.gamma)  # (k_out, 1) pairs
         c["gamma_shoup"] = _u64_pair_col(self.gamma_shoup)
         k_out, k_in = self._k_out, self._k_in
@@ -314,13 +314,12 @@ class RnsScaler:
         zero = jnp.zeros_like(r_pairs[0][0])
 
         # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
-        acc = tuple(zero for _ in range(7))  # 224-bit
-        for r, tg in zip(r_pairs, c["tg_limbs"]):
-            acc = u64.mp_mul_pair(acc, r, (tg[0], tg[1]))
-            hi_part = u64.mp_mul_pair(
-                tuple(zero for _ in range(5)), r, (tg[2], tg[3])
-            )
-            acc = u64.mp_add(acc, (zero, zero) + hi_part)
+        # carry-free 16-bit column accumulation (the sum is < 2^195, so the
+        # exact column value equals the reference's mod-2^224 accumulator)
+        cols = [zero] * 15
+        for r, tgd in zip(r_pairs, c["tg_digits"]):
+            u64.col_accumulate(cols, u64.digits16(r), tgd)
+        acc = u64.cols_to_limbs(cols, 7)
         acc = u64.mp_shr(acc, self.theta_garner_shift - 1)
         s4 = acc[:4]  # truncate to u128 (as_u128)
         half = u64.mp_shr(s4, 1)
@@ -330,33 +329,22 @@ class RnsScaler:
         w_sign = None
         w_pairs = None
         if not self.factor.is_one:
-            pos = tuple(zero for _ in range(8))
-            neg = tuple(zero for _ in range(8))
-            for r, to, sign in zip(r_pairs, c["to_limbs"], self.theta_omega_sign):
-                tgt = neg if sign else pos
-                tgt = u64.mp_mul_pair(tgt, r, (to[0], to[1]))
-                hi_part = u64.mp_mul_pair(
-                    tuple(zero for _ in range(6)), r, (to[2], to[3])
+            pos_cols = [zero] * 17
+            neg_cols = [zero] * 17
+            for r, tod, sign in zip(
+                r_pairs, c["to_digits"], self.theta_omega_sign
+            ):
+                u64.col_accumulate(
+                    neg_cols if sign else pos_cols, u64.digits16(r), tod
                 )
-                tgt = u64.mp_add(tgt, (zero, zero) + hi_part)
-                if sign:
-                    neg = tgt
-                else:
-                    pos = tgt
-            # v * theta_gamma: 128x128 -> 256 bits
-            tgm = c["tgamma_limbs"]
-            v_tg = tuple(zero for _ in range(8))
-            v_tg = u64.mp_mul_pair(v_tg, (v[0], v[1]), (tgm[0], tgm[1]))
-            t = u64.mp_mul_pair(tuple(zero for _ in range(6)), (v[0], v[1]), (tgm[2], tgm[3]))
-            v_tg = u64.mp_add(v_tg, (zero, zero) + t)
-            t = u64.mp_mul_pair(tuple(zero for _ in range(6)), (v[2], v[3]), (tgm[0], tgm[1]))
-            v_tg = u64.mp_add(v_tg, (zero, zero) + t)
-            t = u64.mp_mul_pair(tuple(zero for _ in range(4)), (v[2], v[3]), (tgm[2], tgm[3]))
-            v_tg = u64.mp_add(v_tg, (zero, zero, zero, zero) + t)
-            if self.theta_gamma_sign:
-                pos = u64.mp_add(pos, v_tg)
-            else:
-                neg = u64.mp_add(neg, v_tg)
+            # v * theta_gamma: 128x128 -> 256 bits, same column scheme
+            vd = u64.digits16((v[0], v[1])) + u64.digits16((v[2], v[3]))
+            u64.col_accumulate(
+                pos_cols if self.theta_gamma_sign else neg_cols,
+                vd, c["tgamma_digits"],
+            )
+            pos = u64.cols_to_limbs(pos_cols, 8)
+            neg = u64.cols_to_limbs(neg_cols, 8)
             s = u64.mp_sub(pos, neg)  # wrapping 256-bit, 2's complement
             w_sign = ((s[5] >> U32(31)) | s[6] | s[7]) != U32(0)
             # negative branch: w = (((~s) >> 126).as_u128() + 1) / 2

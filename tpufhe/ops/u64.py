@@ -281,6 +281,51 @@ def mp_from_u64_pairs(pairs, n_limbs: int):
     return tuple(limbs[:n_limbs])
 
 
+def digits16(pair):
+    """u64 pair -> 4 uint32 arrays holding its 16-bit digits (LE)."""
+    lo, hi = pair
+    m = U32(0xFFFF)
+    return [lo & m, lo >> U32(16), hi & m, hi >> U32(16)]
+
+
+def col_accumulate(cols: list, rdigits, cdigits):
+    """cols[a+b] += low/high halves of rdigits[a] * cdigits[b].
+
+    Carry-free multiword multiply-accumulate: rdigits are uint32 arrays
+    holding 16-bit values, cdigits are Python ints < 2^16 (compile-time
+    constants; zero digits are skipped). Each 16x16 product is one lane
+    multiply; its halves accumulate into 16-bit column sums that stay far
+    below 2^32, so no carry chains run until `cols_to_limbs`. Mutates cols.
+    """
+    m = U32(0xFFFF)
+    for a, rd in enumerate(rdigits):
+        for b, cd in enumerate(cdigits):
+            if cd == 0:
+                continue
+            p = rd * U32(cd)
+            cols[a + b] = cols[a + b] + (p & m)
+            cols[a + b + 1] = cols[a + b + 1] + (p >> U32(16))
+    return cols
+
+
+def cols_to_limbs(cols, n_limbs: int):
+    """Carry-fix 16-bit column sums into n_limbs uint32 limbs (mod 2^32n).
+
+    cols[i] holds the (< 2^32) sum of 16-bit contributions at weight
+    2^(16 i); one sequential carry pass produces the canonical limbs.
+    """
+    zero = jnp.zeros_like(cols[0])
+    digs = []
+    carry = zero
+    for i in range(2 * n_limbs):
+        v = (cols[i] if i < len(cols) else zero) + carry
+        digs.append(v & U32(0xFFFF))
+        carry = v >> U32(16)
+    return tuple(
+        digs[2 * j] | (digs[2 * j + 1] << U32(16)) for j in range(n_limbs)
+    )
+
+
 def _add_at(acc: list, k: int, v):
     """acc[k] += v, propagating carries upward. Mutates the list."""
     cur = v
