@@ -74,9 +74,8 @@ def main():
              for m in ctx.moduli],
             axis=1,
         )
-        lo = (mat & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        hi = (mat >> np.uint64(32)).astype(np.uint32)
-        return jax.device_put(np.stack([lo, hi], axis=2))
+        from tpufhe.ops.rq import pack_u64
+        return jax.device_put(pack_u64(mat))
 
     a = rand_arr()
     b = rand_arr()

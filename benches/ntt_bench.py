@@ -70,8 +70,7 @@ def main():
     print(f"xla fwd    {t*1e6/n_transforms:9.2f} us/limb-ntt "
           f"({t*1e3:.3f} ms/batch)")
 
-    tables = np.stack([build_stage_tables(op, inverse=False) for op in ctx.ops])
-    tables = jax.device_put(tables)
+    tables = jax.device_put(ctx.dev.stage_tables(False))
     scalars = jax.device_put(build_limb_scalars(ctx.ops))
 
     def pallas_fwd(xx, tt):
@@ -86,8 +85,7 @@ def main():
     print(f"pallas fwd {t*1e6/n_transforms:9.2f} us/limb-ntt "
           f"({t*1e3:.3f} ms/batch)")
 
-    tables_b = np.stack([build_stage_tables(op, inverse=True) for op in ctx.ops])
-    tables_b = jax.device_put(tables_b)
+    tables_b = jax.device_put(ctx.dev.stage_tables(True))
     bwd = rq_mod._bwd_fn(ctx)
     t = timeit(bwd, (x,))
     print(f"xla bwd    {t*1e6/n_transforms:9.2f} us/limb-ntt "

