@@ -36,7 +36,10 @@ def main():
     from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
 
     degree = int(os.environ.get("BENCH_DEGREE", 8192))
-    n_limbs = int(os.environ.get("BENCH_LIMBS", 3))
+    limb_bits = int(os.environ.get("BENCH_LIMB_BITS", 62))
+    # same log q as the 3x62-bit reference config when narrow limbs are used
+    default_limbs = 3 if limb_bits > 30 else -((-62 * 3) // limb_bits)
+    n_limbs = int(os.environ.get("BENCH_LIMBS", default_limbs))
     batch = int(os.environ.get("BENCH_BATCH", 16))
     iters = int(os.environ.get("BENCH_ITERS", 10))
 
@@ -44,7 +47,7 @@ def main():
         BfvParametersBuilder()
         .set_degree(degree)
         .set_plaintext_modulus(1153)
-        .set_moduli_sizes([62] * n_limbs)
+        .set_moduli_sizes([limb_bits] * n_limbs)
         .build()
     )
     rng = ChaCha8Rng(seed_from_u64(42))
@@ -63,7 +66,10 @@ def main():
             ],
             axis=1,
         )
-        arrs.append(jax.device_put(pack_u64(mat)))
+        packed = pack_u64(mat)
+        if ctx.narrow:
+            packed = packed[..., :1, :, :]
+        arrs.append(jax.device_put(packed))
 
     # warmup / compile
     out = fn(*arrs)
@@ -84,7 +90,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"bfv_mul_relin_ops_per_s_per_chip_n{degree}_l{n_limbs}",
+                "metric": (
+                    f"bfv_mul_relin_ops_per_s_per_chip_n{degree}"
+                    f"_l{n_limbs}x{limb_bits}b"
+                ),
                 "value": round(ops_per_s, 3),
                 "unit": "ciphertext_mul+relin/s/chip",
                 "vs_baseline": round(ops_per_s / target_per_chip, 4),

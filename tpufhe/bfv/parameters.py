@@ -269,6 +269,11 @@ class BfvParametersBuilder:
             else list(self._moduli)
         )
         moduli_sizes = [m.bit_length() for m in moduli]
+        # All-narrow parameter sets (every modulus < 2^30) use the
+        # single-lane w30 representation end to end: one residue per 32-bit
+        # lane, ~4x cheaper modular primitives (ops/zq32.py). Well inside
+        # the reference's 10..62-bit modulus space (zq/primes.rs:30-59).
+        narrow = all(m < (1 << 30) for m in moduli)
 
         # plaintext context: enough moduli so product > t by >= 60 bits
         t_bits = t.bit_length()
@@ -279,7 +284,7 @@ class BfvParametersBuilder:
             if acc >= t_bits + 60:
                 break
         count = min(max(count, 1), len(moduli))
-        plaintext_context = Context(tuple(moduli[:count]), degree)
+        plaintext_context = Context(tuple(moduli[:count]), degree, narrow)
 
         # plaintext-space NTT for SIMD (may be None)
         ntt_operator = None
@@ -293,7 +298,7 @@ class BfvParametersBuilder:
         cipher_plain_contexts = []
         for i in reversed(range(len(moduli))):
             level_moduli = tuple(moduli[: len(moduli) - i])
-            cipher_ctx = Context(level_moduli, degree)
+            cipher_ctx = Context(level_moduli, degree, narrow)
             delta_rests = []
             for m in level_moduli:
                 q = Modulus(m)
@@ -326,11 +331,17 @@ class BfvParametersBuilder:
             a.next = b
             b.prev = a
 
-        # extended 62-bit basis for multiplication (parameters.rs:586-593)
+        # extended basis for multiplication (parameters.rs:586-593); the
+        # extension primes match the base regime (62-bit, or 30-bit when
+        # narrow) so the multiplication context stays in the same
+        # representation
+        ext_size = 30 if narrow else 62
         extended_basis: list[int] = []
-        upper_bound = 1 << 62
-        while len(extended_basis) != len(moduli) + 1:
-            upper_bound = generate_prime(62, 2 * degree, upper_bound)
+        upper_bound = 1 << ext_size
+        n_ext_target = len(moduli) + 1 if not narrow else (
+            -((-(sum(moduli_sizes) + 60)) // ext_size) + 1)
+        while len(extended_basis) != n_ext_target:
+            upper_bound = generate_prime(ext_size, 2 * degree, upper_bound)
             if upper_bound not in extended_basis and upper_bound not in moduli:
                 extended_basis.append(upper_bound)
 
@@ -339,11 +350,11 @@ class BfvParametersBuilder:
             def make_builder(i=i, node=node):
                 def build_mp():
                     modulus_size = sum(moduli_sizes[: len(moduli_sizes) - i])
-                    n_extra = -((-(modulus_size + 60)) // 62)
+                    n_extra = -((-(modulus_size + 60)) // ext_size)
                     mul_moduli = tuple(
                         moduli[: len(moduli_sizes) - i] + extended_basis[:n_extra]
                     )
-                    mul_ctx = Context(mul_moduli, degree)
+                    mul_ctx = Context(mul_moduli, degree, narrow)
                     return MultiplicationParameters(
                         extender=Scaler(
                             node.poly_context, mul_ctx, ScalingFactor.one()

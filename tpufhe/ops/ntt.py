@@ -261,3 +261,76 @@ def backward(a, zetas_inv, zetas_inv_shoup, ninv_pair, ninv_shoup_pair, p_pair, 
     ninv_s = _expand(ninv_shoup_pair, 1)
     out = zq.mul_shoup((x_lo, x_hi), ninv, ninv_s, p1)
     return _merge_planes(*out)
+
+
+# ---------------------------------------------------------------------------
+# Single-lane (w30) transforms for narrow moduli p < 2^30: one residue per
+# uint32 lane, Shoup constants scaled by 2^32 (ops/zq32.py). Same stage
+# structure and lazy bounds as above, 3-4x fewer lane operations.
+# ---------------------------------------------------------------------------
+
+
+def forward32(a, omegas, omegas_shoup32, p, p2, lazy: bool = False):
+    """Forward negacyclic NTT on (..., k, n) uint32 data, moduli < 2^30.
+
+    p / p2: (k,) uint32 arrays. Outputs < p, or < 4p if lazy.
+    """
+    from tpufhe.ops import zq32
+
+    n = a.shape[-1]
+    x = a
+    lead = x.shape[:-1]
+    p3 = p[..., None, None]
+    p2_3 = p2[..., None, None]
+
+    l = n >> 1
+    m = 1
+    while l > 0:
+        shape = lead + (m, 2, l)
+        x = x.reshape(shape)
+        xl = x[..., :, 0, :]
+        xr = x[..., :, 1, :]
+        tw = omegas[..., m: 2 * m, None]
+        tws = omegas_shoup32[..., m: 2 * m, None]
+        xl = zq32.reduce1_32(xl, p2_3)
+        t = zq32.lazy_mul_shoup32(xr, tw, tws, p3)
+        new_r = xl + p2_3 - t
+        new_l = xl + t
+        x = jnp.stack([new_l, new_r], axis=-2).reshape(lead + (n,))
+        l >>= 1
+        m <<= 1
+
+    if not lazy:
+        p1 = p[..., None]
+        x = zq32.reduce1_32(zq32.reduce1_32(x, p2[..., None]), p1)
+    return x
+
+
+def backward32(a, zetas_inv, zetas_inv_shoup32, ninv, ninv_shoup32, p, p2):
+    """Inverse negacyclic NTT with n^{-1} fold, moduli < 2^30."""
+    from tpufhe.ops import zq32
+
+    n = a.shape[-1]
+    x = a
+    lead = x.shape[:-1]
+    p3 = p[..., None, None]
+    p2_3 = p2[..., None, None]
+
+    l = 1
+    k = 0
+    while l < n:
+        m = n // (2 * l)
+        shape = lead + (m, 2, l)
+        x = x.reshape(shape)
+        xl = x[..., :, 0, :]
+        xr = x[..., :, 1, :]
+        tz = zetas_inv[..., k: k + m, None]
+        tzs = zetas_inv_shoup32[..., k: k + m, None]
+        new_l = zq32.reduce1_32(xr + xl, p2_3)
+        new_r = zq32.lazy_mul_shoup32(xl + p2_3 - xr, tz, tzs, p3)
+        x = jnp.stack([new_l, new_r], axis=-2).reshape(lead + (n,))
+        k += m
+        l <<= 1
+
+    p1 = p[..., None]
+    return zq32.mul_shoup32(x, ninv[..., None], ninv_shoup32[..., None], p1)

@@ -293,6 +293,32 @@ class RnsScaler:
         c["p2"] = _u64_pair_col([2 * m for m in self.to_ctx.moduli_u64])
         c["barrett_lo"] = _u64_pair_col([q.barrett_lo for q in self.to_ctx.moduli])
         c["barrett_hi"] = _u64_pair_col([q.barrett_hi for q in self.to_ctx.moduli])
+
+        # single-lane (w30) constants when the target base is narrow
+        self._narrow_ok = all(
+            m < (1 << 30) for m in self.to_ctx.moduli_u64
+        )
+        if self._narrow_ok:
+            def u32col(vals):
+                return np.array([int(v) for v in vals],
+                                dtype=np.uint32).reshape(-1, 1, 1)
+
+            qs = self.to_ctx.moduli
+            c["p32"] = u32col(self.to_ctx.moduli_u64)
+            c["p232"] = u32col([2 * m for m in self.to_ctx.moduli_u64])
+            c["mu0"] = u32col([q.mu64 & 0xFFFFFFFF for q in qs])
+            c["mu1"] = u32col([q.mu64 >> 32 for q in qs])
+            c["gamma32"] = u32col(self.gamma)
+            c["gammas32"] = u32col(
+                [q.shoup32(g) for q, g in zip(qs, self.gamma)])
+            c["omega32"] = [
+                (
+                    u32col([self.omega[j][i] for j in range(k_out)]),
+                    u32col([qs[j].shoup32(self.omega[j][i])
+                            for j in range(k_out)]),
+                )
+                for i in range(k_in)
+            ]
         self._device_consts = c
 
     def scale(self, rests, starting_index: int = 0, size: int | None = None):
@@ -305,20 +331,29 @@ class RnsScaler:
         size = self._k_out - starting_index if size is None else size
         k_in = self._k_in
         assert rests.shape[-4] == k_in
+        narrow = rests.shape[-3] == 1
+        assert not narrow or self._narrow_ok
         c = self._device_consts
 
-        r_pairs = [
-            (rests[..., i, 0, :, :], rests[..., i, 1, :, :])
-            for i in range(k_in)
-        ]
-        zero = jnp.zeros_like(r_pairs[0][0])
+        if narrow:
+            r_lanes = [rests[..., i, 0, :, :] for i in range(k_in)]
+            m16 = U32(0xFFFF)
+            r_digits = [[r & m16, r >> U32(16)] for r in r_lanes]
+            zero = jnp.zeros_like(r_lanes[0])
+        else:
+            r_pairs = [
+                (rests[..., i, 0, :, :], rests[..., i, 1, :, :])
+                for i in range(k_in)
+            ]
+            r_digits = [u64.digits16(r) for r in r_pairs]
+            zero = jnp.zeros_like(r_pairs[0][0])
 
         # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
         # carry-free 16-bit column accumulation (the sum is < 2^195, so the
         # exact column value equals the reference's mod-2^224 accumulator)
         cols = [zero] * 15
-        for r, tgd in zip(r_pairs, c["tg_digits"]):
-            u64.col_accumulate(cols, u64.digits16(r), tgd)
+        for rd, tgd in zip(r_digits, c["tg_digits"]):
+            u64.col_accumulate(cols, rd, tgd)
         acc = u64.cols_to_limbs(cols, 7)
         acc = u64.mp_shr(acc, self.theta_garner_shift - 1)
         s4 = acc[:4]  # truncate to u128 (as_u128)
@@ -331,11 +366,11 @@ class RnsScaler:
         if not self.factor.is_one:
             pos_cols = [zero] * 17
             neg_cols = [zero] * 17
-            for r, tod, sign in zip(
-                r_pairs, c["to_digits"], self.theta_omega_sign
+            for rd, tod, sign in zip(
+                r_digits, c["to_digits"], self.theta_omega_sign
             ):
                 u64.col_accumulate(
-                    neg_cols if sign else pos_cols, u64.digits16(r), tod
+                    neg_cols if sign else pos_cols, rd, tod
                 )
             # v * theta_gamma: 128x128 -> 256 bits, same column scheme
             vd = u64.digits16((v[0], v[1])) + u64.digits16((v[2], v[3]))
@@ -360,9 +395,45 @@ class RnsScaler:
                 jnp.where(w_sign, a, b) for a, b in zip(w_neg, w_pos)
             )
 
-        # --- step 3: per-output-modulus accumulation in u128 ---
-        # constants are (k_out, 1) pairs; slice the active window
+        # --- step 3: per-output-modulus accumulation ---
+        # constants are (k_out, 1, 1); slice the active window
         sl = slice(starting_index, starting_index + size)
+
+        if narrow:
+            from tpufhe.ops import zq32
+
+            p32 = c["p32"][sl]
+            p232 = c["p232"][sl]
+            mu0 = c["mu0"][sl]
+            mu1 = c["mu1"][sl]
+
+            def horner_mod(limbs):
+                """Exact (sum limbs[i] 2^(32 i)) mod p, limb-broadcastable."""
+                r = zq32.reduce_u64_32(
+                    limbs[-1], jnp.zeros_like(limbs[-1]), mu0, mu1, p32)
+                for lv in reversed(limbs[:-1]):
+                    r = zq32.reduce_u64_32(lv, r, mu0, mu1, p32)
+                return r
+
+            v_bl = [l[..., None, :, :] for l in v]
+            v_red = horner_mod(v_bl)
+            t0 = zq32.lazy_mul_shoup32(
+                v_red, c["gamma32"][sl], c["gammas32"][sl], p32)
+            acc = (p232 - t0)
+            acc = (acc, jnp.zeros_like(acc))
+            if not self.factor.is_one:
+                w_red = horner_mod([l[..., None, :, :] for l in w_pairs])
+                ws = w_sign[..., None, :, :]
+                term = jnp.where(ws, p232 - w_red, w_red)
+                acc = u64.add64(acc, (term, jnp.zeros_like(term)))
+            for i in range(k_in):
+                om32, oms32 = c["omega32"][i]
+                term = zq32.lazy_mul_shoup32(
+                    r_lanes[i][..., None, :, :], om32[sl], oms32[sl], p32)
+                acc = u64.add64(acc, (term, jnp.zeros_like(term)))
+            # total < (k_in + 3) * 2p < 2^36: one exact reduction
+            out = zq32.reduce_u64_32(acc[0], acc[1], mu0, mu1, p32)
+            return out[..., None, :, :]
 
         def slc(pair):
             return pair[0][sl], pair[1][sl]

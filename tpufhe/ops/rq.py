@@ -62,9 +62,11 @@ def pack_u64(mat: np.ndarray) -> np.ndarray:
 
 
 def unpack_u64(arr) -> np.ndarray:
-    """uint32 (..., 2, S, L) -> uint64 (..., N)."""
+    """uint32 (..., 2|1, S, L) -> uint64 (..., N)."""
     arr = np.asarray(arr)
     arr = arr.reshape(arr.shape[:-2] + (arr.shape[-2] * arr.shape[-1],))
+    if arr.shape[-2] == 1:  # narrow single-plane
+        return arr[..., 0, :].astype(np.uint64)
     return arr[..., 0, :].astype(np.uint64) | (
         arr[..., 1, :].astype(np.uint64) << np.uint64(32)
     )
@@ -95,21 +97,29 @@ _CONTEXT_CACHE: dict = {}
 class Context:
     """Modulus-chain node: per-limb Modulus + NttOperators + RNS context.
 
-    Mirrors rq/context.rs:9-156. Cached globally by (moduli, degree).
+    Mirrors rq/context.rs:9-156. Cached globally by (moduli, degree, narrow).
+
+    `narrow=True` opts into the single-lane w30 representation (all moduli
+    must be < 2^30): coefficients are (..., k, 1, S, L) single-plane uint32
+    and the fast paths use ops/zq32 + the 32-bit NTT kernels. Wide and
+    narrow contexts over the same moduli are distinct objects.
     """
 
-    def __new__(cls, moduli, degree: int):
-        key = (tuple(int(m) for m in moduli), int(degree))
+    def __new__(cls, moduli, degree: int, narrow: bool = False):
+        key = (tuple(int(m) for m in moduli), int(degree), bool(narrow))
         if key in _CONTEXT_CACHE:
             return _CONTEXT_CACHE[key]
         self = super().__new__(cls)
         _CONTEXT_CACHE[key] = self
-        self._init(key[0], key[1])
+        self._init(key[0], key[1], key[2])
         return self
 
-    def _init(self, moduli, degree):
+    def _init(self, moduli, degree, narrow):
         if degree < 8 or (degree & (degree - 1)) != 0:
             raise ValueError("The degree is not a power of two larger or equal to 8")
+        if narrow and any(m >= (1 << 30) for m in moduli):
+            raise ValueError("narrow contexts need all moduli < 2^30")
+        self.narrow = narrow
         self.moduli = moduli
         self.degree = degree
         self.rns = RnsContext(list(moduli))
@@ -129,7 +139,7 @@ class Context:
             self.inv_last_qi_mod_qj.append(inv)
             self.inv_last_qi_mod_qj_shoup.append(qi.shoup(inv))
         self.next_context = (
-            Context(moduli[:-1], degree) if len(moduli) >= 2 else None
+            Context(moduli[:-1], degree, narrow) if len(moduli) >= 2 else None
         )
         self._dev = None
 
@@ -205,6 +215,46 @@ class _DeviceConsts:
         if k >= 2:
             self.inv_last = _pairs_col(ctx.inv_last_qi_mod_qj)
             self.inv_last_shoup = _pairs_col(ctx.inv_last_qi_mod_qj_shoup)
+        if ctx.narrow:
+            u32c = lambda v: np.array([int(x) for x in v], dtype=np.uint32)
+            self.p32 = u32c(ctx.moduli)
+            self.p232 = u32c([2 * m for m in ctx.moduli])
+            self.mu0 = u32c([q.mu64 & 0xFFFFFFFF for q in ctx.q])
+            self.mu1 = u32c([q.mu64 >> 32 for q in ctx.q])
+            self.om32 = np.stack(
+                [o.omegas.astype(np.uint32) for o in ctx.ops])
+            self.oms32 = np.stack([
+                u32c([o.q.shoup32(int(v)) for v in o.omegas])
+                for o in ctx.ops])
+            self.zi32 = np.stack(
+                [o.zetas_inv.astype(np.uint32) for o in ctx.ops])
+            self.zis32 = np.stack([
+                u32c([o.q.shoup32(int(v)) for v in o.zetas_inv])
+                for o in ctx.ops])
+            self.ninv32 = u32c([o.size_inv for o in ctx.ops])
+            self.ninvs32 = u32c(
+                [o.q.shoup32(int(o.size_inv)) for o in ctx.ops])
+            self._stage_tables32 = {}
+
+    def stage_tables32(self, inverse: bool):
+        """(k, logN, 2, S, L) lane-folded w30 stage tables."""
+        if inverse not in self._stage_tables32:
+            from tpufhe.ops.pallas.ntt32_kernel import build_stage_tables32
+
+            t = np.stack(
+                [build_stage_tables32(op, inverse) for op in self._ctx.ops]
+            )
+            self._stage_tables32[inverse] = t.reshape(
+                t.shape[:-1] + lane_shape(t.shape[-1])
+            )
+        return self._stage_tables32[inverse]
+
+    def limb_scalars32(self):
+        if not hasattr(self, "_limb_scalars32"):
+            from tpufhe.ops.pallas.ntt32_kernel import build_limb_scalars32
+
+            self._limb_scalars32 = build_limb_scalars32(self._ctx.ops)
+        return self._limb_scalars32
 
     def stage_tables(self, inverse: bool):
         """Per-lane stage twiddle tables for the Pallas NTT,
@@ -259,13 +309,30 @@ def _fold(coeffs):
 
 def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
                     limb_slice: slice | None = None):
-    """Forward NTT on (..., k, 2, S, L), Pallas-fused on TPU, XLA otherwise.
+    """Forward NTT on (..., k, 2|1, S, L), Pallas-fused on TPU, XLA otherwise.
 
     limb_slice restricts to a contiguous subset of the context's limbs
     (the Scaler's partial forward on rows ncm..k_out).
     """
     d = ctx.dev
     sl = limb_slice if limb_slice is not None else slice(None)
+    if ctx.narrow:
+        if _pallas_ok(ctx):
+            from tpufhe.ops.pallas.ntt32_kernel import ntt32_pallas
+
+            lead = coeffs.shape[:-4]
+            x = coeffs[..., 0, :, :].reshape((-1,) + coeffs.shape[-4:-3]
+                                             + coeffs.shape[-2:])
+            out = ntt32_pallas(
+                x, d.stage_tables32(False)[sl], d.limb_scalars32()[sl],
+                lazy=lazy,
+            )
+            return out.reshape(lead + out.shape[-3:-2] + (1,)
+                               + out.shape[-2:])
+        flat = _unfold(coeffs[..., 0, :, :])
+        out = ntt_mod.forward32(flat, d.om32[sl], d.oms32[sl], d.p32[sl],
+                                d.p232[sl], lazy=lazy)
+        return _fold(out)[..., None, :, :]
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
@@ -283,8 +350,24 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
 
 
 def ntt_backward_any(ctx: Context, coeffs):
-    """Inverse NTT on (..., k, 2, S, L), Pallas-fused on TPU, XLA otherwise."""
+    """Inverse NTT on (..., k, 2|1, S, L), Pallas-fused on TPU, XLA otherwise."""
     d = ctx.dev
+    if ctx.narrow:
+        if _pallas_ok(ctx):
+            from tpufhe.ops.pallas.ntt32_kernel import ntt32_pallas
+
+            lead = coeffs.shape[:-4]
+            x = coeffs[..., 0, :, :].reshape((-1,) + coeffs.shape[-4:-3]
+                                             + coeffs.shape[-2:])
+            out = ntt32_pallas(
+                x, d.stage_tables32(True), d.limb_scalars32(), inverse=True,
+            )
+            return out.reshape(lead + out.shape[-3:-2] + (1,)
+                               + out.shape[-2:])
+        flat = _unfold(coeffs[..., 0, :, :])
+        out = ntt_mod.backward32(flat, d.zi32, d.zis32, d.ninv32, d.ninvs32,
+                                 d.p32, d.p232)
+        return _fold(out)[..., None, :, :]
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
@@ -328,9 +411,44 @@ def _exp2(pair):
     return pair[0][..., None, None], pair[1][..., None, None]
 
 
+def _c32(v):
+    """(k,) uint32 numpy -> (k, 1, 1) broadcastable vs (..., k, S, L)."""
+    return v[..., None, None]
+
+
+def _ln(a):
+    """Narrow lane view: (..., k, 1, S, L) -> (..., k, S, L)."""
+    return a[..., 0, :, :]
+
+
+def _sn(x):
+    """(..., k, S, L) -> (..., k, 1, S, L)."""
+    return x[..., None, :, :]
+
+
 @lru_cache(maxsize=None)
 def _binop_fn(ctx: Context, op: str):
     d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+
+        @jax.jit
+        def f32(a, b):
+            la, lb = _ln(a), _ln(b)
+            if op == "add":
+                r = zq32.add_mod32(la, lb, p32)
+            elif op == "sub":
+                r = zq32.sub_mod32(la, lb, p32)
+            elif op == "mul":
+                r = zq32.mul_mod32(la, lb, mu0, mu1, p32)
+            else:
+                raise ValueError(op)
+            return _sn(r)
+
+        return f32
     p = _exp2(d.p)
     bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
 
@@ -353,8 +471,19 @@ def _binop_fn(ctx: Context, op: str):
 
 @lru_cache(maxsize=None)
 def _mul_shoup_fn(ctx: Context, reduce_from_lazy: bool):
-    """a (possibly lazy, any u64) * b (NttShoup) -> fully reduced product."""
+    """a (possibly lazy) * b (NttShoup) -> fully reduced product."""
     d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+
+        @jax.jit
+        def f32(a, b, b_shoup):
+            r = zq32.mul_shoup32(_ln(a), _ln(b), _ln(b_shoup), p32)
+            return _sn(r)
+
+        return f32
     p = _exp2(d.p)
 
     @jax.jit
@@ -371,6 +500,16 @@ def _mul_shoup_fn(ctx: Context, reduce_from_lazy: bool):
 @lru_cache(maxsize=None)
 def _neg_fn(ctx: Context):
     d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+
+        @jax.jit
+        def f32(a):
+            return _sn(zq32.neg_mod32(_ln(a), p32))
+
+        return f32
     p = _exp2(d.p)
 
     @jax.jit
@@ -392,11 +531,29 @@ def _shoup_of_fn(ctx: Context):
     q' mod 2^64 = (-r' mod 2^64) * p^{-1} mod 2^64; q < 2^64 because a < p.
     """
     d = ctx.dev
-    p = _exp2(d.p)
-    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
-
     from tpufhe.utils.misc import inverse
 
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+        p_inv32 = _c32(np.array(
+            [inverse(m, 1 << 32) for m in ctx.moduli], dtype=np.uint32))
+
+        @jax.jit
+        def f32(a):
+            la = _ln(a)
+            zero = jnp.zeros_like(la)
+            # r = (a * 2^32) mod p exactly; q = (a*2^32 - r)/p mod 2^32
+            r = zq32.reduce_u64_32(zero, la, mu0, mu1, p32)
+            q = (zero - r) * p_inv32
+            return _sn(q)
+
+        return f32
+
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
     p_inv_pair = _exp2(_pairs_col([inverse(m, 1 << 64) for m in ctx.moduli]))
 
     @jax.jit
@@ -418,6 +575,18 @@ def _shoup_of_fn(ctx: Context):
 def _scalar_mul_fn(ctx: Context):
     """Per-limb scalar Shoup multiply (zq scalar_mul_vec, zq/mod.rs:349-355)."""
     d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+
+        @jax.jit
+        def f32(a, s, s_shoup32):
+            # s, s_shoup32: (k,) uint32 arrays
+            r = zq32.mul_shoup32(_ln(a), _c32(s), _c32(s_shoup32), p32)
+            return _sn(r)
+
+        return f32
     p = _exp2(d.p)
 
     @jax.jit
@@ -441,7 +610,9 @@ def _reduce_u64_fn(ctx: Context):
     def f(a):
         pa = _pl(a)
         r = zq.reduce_u64(pa, bl, bh, p)
-        return _st(r)
+        out = _st(r)
+        # narrow contexts: residues < p < 2^30 live entirely in the lo plane
+        return out[..., :1, :, :] if ctx.narrow else out
 
     return f
 
@@ -456,7 +627,8 @@ def _reduce_i64_fn(ctx: Context):
     @jax.jit
     def f(a):
         pa = _pl(a)
-        return _st(zq.reduce_i64(pa[0], pa[1], bl, bh, p))
+        out = _st(zq.reduce_i64(pa[0], pa[1], bl, bh, p))
+        return out[..., :1, :, :] if ctx.narrow else out
 
     return f
 
@@ -488,6 +660,38 @@ def _switch_down_fn(ctx: Context):
     q_last = ctx.moduli[-1]
     q_last_div_2 = q_last // 2
     km1 = ctx.k - 1
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32[:km1])
+        mu0, mu1 = _c32(d.mu0[:km1]), _c32(d.mu1[:km1])
+        u32c = lambda v: np.array([int(x) for x in v], dtype=np.uint32)
+        inv32 = _c32(u32c(ctx.inv_last_qi_mod_qj))
+        invs32 = _c32(u32c([
+            q.shoup32(v) for q, v in zip(ctx.q[:-1], ctx.inv_last_qi_mod_qj)
+        ]))
+        qld2_mod32 = _c32(u32c(
+            [q.p - (q_last_div_2 % q.p) for q in ctx.q[:-1]]))
+        p3_32 = _c32(u32c([3 * q.p for q in ctx.q[:-1]]))
+        qlast_c = np.uint32(q_last)
+        qld2_c = np.uint32(q_last_div_2)
+
+        @jax.jit
+        def f32(coeffs):
+            rest = _ln(coeffs[..., :km1, :, :, :])
+            last = _ln(coeffs[..., km1:, :, :, :])
+            # add (q_last)/2 for rounding (still < q_last < 2^30)
+            last = zq32.add_mod32(last, qld2_c, qlast_c)
+            # exact residue mod each remaining q_i (any representative of
+            # x_last works: the Shoup product below fully reduces)
+            tmp = zq32.reduce_u64_32(last, jnp.zeros_like(last), mu0, mu1,
+                                     p32)
+            tmp = tmp + qld2_mod32          # < 2 q_i
+            x = rest + (p3_32 - tmp)        # < 4 q_i < 2^32
+            x = zq32.mul_shoup32(x, inv32, invs32, p32)
+            return _sn(x)
+
+        return f32
     # per remaining limb constants
     p_rest = (d.p[0][:km1], d.p[1][:km1])
     p_rest2 = _exp2(p_rest)
@@ -532,6 +736,21 @@ def _lazy_const_ntt_fn(ctx: Context):
     [0, 2p), lazy forward NTT to [0, 4p).
     """
     d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+
+        @jax.jit
+        def f32(digits):
+            # digits: (..., 1, S, L) -> broadcast over the limb axis; exact
+            # residues are within the lazy-NTT input bound (< p <= 4p)
+            la = digits[..., 0, :, :][..., None, :, :]
+            r = zq32.reduce_u64_32(la, jnp.zeros_like(la), mu0, mu1, p32)
+            return ntt_forward_any(ctx, _sn(r), lazy=True)
+
+        return f32
     p = _exp2(d.p)
     bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
 
@@ -580,7 +799,8 @@ class Poly:
 
     @staticmethod
     def zero(ctx: Context, representation: str = POWER_BASIS, batch=()) -> "Poly":
-        shape = tuple(batch) + (ctx.k, 2) + lane_shape(ctx.degree)
+        planes = 1 if ctx.narrow else 2
+        shape = tuple(batch) + (ctx.k, planes) + lane_shape(ctx.degree)
         coeffs = jnp.zeros(shape, dtype=jnp.uint32)
         shoup = coeffs if representation == NTT_SHOUP else None
         return Poly(ctx, representation, coeffs, shoup)
@@ -590,8 +810,11 @@ class Poly:
         mat, ctx: Context, representation: str = POWER_BASIS
     ) -> "Poly":
         """mat: (..., k, N) uint64 canonical residues."""
+        packed = pack_u64(mat)
+        if ctx.narrow:
+            packed = packed[..., :1, :, :]  # residues < 2^30: lo plane only
         p = Poly(ctx, representation if representation != NTT_SHOUP else NTT,
-                 jnp.asarray(pack_u64(mat)))
+                 jnp.asarray(packed))
         if representation == NTT_SHOUP:
             p = p.compute_shoup()
         return p
@@ -728,6 +951,14 @@ class Poly:
         """Multiply by a big integer projected through the RNS
         (rq/ops.rs:297-352)."""
         s = [int(scalar) % m for m in self.ctx.moduli]
+        if self.ctx.narrow:
+            out = _scalar_mul_fn(self.ctx)(
+                self.coeffs,
+                np.array(s, dtype=np.uint32),
+                np.array([q.shoup32(v) for q, v in zip(self.ctx.q, s)],
+                         dtype=np.uint32),
+            )
+            return Poly(self.ctx, self.representation, out)
         s_shoup = [q.shoup(v) for q, v in zip(self.ctx.q, s)]
         out = _scalar_mul_fn(self.ctx)(
             self.coeffs, _pairs_col(s), _pairs_col(s_shoup)

@@ -71,16 +71,81 @@ def _ksk_consts(ksk):
     return c0, c1
 
 
+def _ops_for(ctx):
+    """(mul, add) elementwise mod-q closures over (..., k, 2|1, S, L)."""
+    d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+        from tpufhe.ops.rq import _c32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+
+        def mul(a, b):
+            r = zq32.mul_mod32(a[..., 0, :, :], b[..., 0, :, :], mu0, mu1,
+                               p32)
+            return r[..., None, :, :]
+
+        def add(a, b):
+            r = zq32.add_mod32(a[..., 0, :, :], b[..., 0, :, :], p32)
+            return r[..., None, :, :]
+
+        return mul, add
+
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+    def mul(a, b):
+        return _stack(zq.mul_mod(_pairs(a), _pairs(b), bl, bh, p))
+
+    def add(a, b):
+        return _stack(zq.add_mod(_pairs(a), _pairs(b), p))
+
+    return mul, add
+
+
 def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
-    """Garner-decomposition key switch on power-basis coeffs (..., k, 2, N).
+    """Garner-decomposition key switch on power-basis coeffs (..., k, 2|1, S, L).
 
     Lifts every decomposition row in ONE lazy forward NTT, then accumulates
     sum_i d_i * ksk.c{0,1}_i with Shoup products (key_switching_key.rs:214-241).
     """
     d = ctx.dev
+    k = ctx.k
+
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+        from tpufhe.ops.rq import _c32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+        # (k, ..., 1, S, L) -> exact residues broadcast over the limb axis
+        digits = jnp.moveaxis(c2_pb, -4, 0)[..., 0, :, :][..., None, :, :]
+        r = zq32.reduce_u64_32(digits, jnp.zeros_like(digits), mu0, mu1, p32)
+        lifted = r[..., None, :, :]
+        lifted = jnp.broadcast_to(
+            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + lane_shape(ctx.degree)
+        )
+        lifted = ntt_forward_any(ctx, lifted, lazy=True)  # ONE pallas call
+
+        acc0 = acc1 = None
+        for i in range(k):
+            di = lifted[i][..., 0, :, :]
+            t0 = zq32.mul_shoup32(
+                di, ksk_c0[i][0][..., 0, :, :], ksk_c0[i][1][..., 0, :, :],
+                p32)
+            t1 = zq32.mul_shoup32(
+                di, ksk_c1[i][0][..., 0, :, :], ksk_c1[i][1][..., 0, :, :],
+                p32)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = zq32.add_mod32(acc0, t0, p32)
+                acc1 = zq32.add_mod32(acc1, t1, p32)
+        return acc0[..., None, :, :], acc1[..., None, :, :]
+
     p = _exp2(d.p)
     bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
-    k = ctx.k
 
     # (k, ..., 2, S, L): row i broadcast to every limb, lazy-reduced to [0, 2p)
     digits = jnp.moveaxis(c2_pb, -4, 0)[..., None, :, :, :]
@@ -123,31 +188,25 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
     ext_rns = mp.extender.rns_scaler
     down_rns = mp.down_scaler.rns_scaler
     assert mp.extender.number_common_moduli == k
-    p_mul = _exp2(ctx_mul.dev.p)
-    bl_mul = _exp2(ctx_mul.dev.barrett_lo)
-    bh_mul = _exp2(ctx_mul.dev.barrett_hi)
-    p_ct = _exp2(ctx.dev.p)
+    mul_m, add_m = _ops_for(ctx_mul)
+    _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
     def step(a0, a1, b0, b1):
-        x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2, N)
+        x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
         # extend to the multiplication basis (ops/mod.rs:307-317)
         x_pb = ntt_backward_any(ctx, x)
         new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
         new_rows = ntt_forward_any(ctx_mul, new_rows,
                                    limb_slice=slice(k, k_mul))
-        ext = jnp.concatenate([x, new_rows], axis=-4)  # (4, ..., k_mul, 2, N)
-        a0e, a1e, b0e, b1e = (_pairs(ext[i]) for i in range(4))
+        ext = jnp.concatenate([x, new_rows], axis=-4)
+        a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
         # tensor product (ops/mod.rs:318-325)
-        c0 = zq.mul_mod(a0e, b0e, bl_mul, bh_mul, p_mul)
-        c1 = zq.add_mod(
-            zq.mul_mod(a0e, b1e, bl_mul, bh_mul, p_mul),
-            zq.mul_mod(a1e, b0e, bl_mul, bh_mul, p_mul),
-            p_mul,
-        )
-        c2 = zq.mul_mod(a1e, b1e, bl_mul, bh_mul, p_mul)
-        t = jnp.stack([_stack(c0), _stack(c1), _stack(c2)])
+        c0 = mul_m(a0e, b0e)
+        c1 = add_m(mul_m(a0e, b1e), mul_m(a1e, b0e))
+        c2 = mul_m(a1e, b1e)
+        t = jnp.stack([c0, c1, c2])
 
         # down-scale by t/q (ops/mod.rs:326-332)
         t_pb = ntt_backward_any(ctx_mul, t)
@@ -156,9 +215,7 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
 
         # relinearize c2 (relinearization_key.rs:71-98)
         ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
-        out0 = zq.add_mod(_pairs(c01[0]), _pairs(ks0), p_ct)
-        out1 = zq.add_mod(_pairs(c01[1]), _pairs(ks1), p_ct)
-        return _stack(out0), _stack(out1)
+        return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
     return jax.jit(step)
 
@@ -173,10 +230,8 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
     k, k_mul = ctx.k, ctx_mul.k
     ext_rns = mp.extender.rns_scaler
     down_rns = mp.down_scaler.rns_scaler
-    p_mul = _exp2(ctx_mul.dev.p)
-    bl_mul = _exp2(ctx_mul.dev.barrett_lo)
-    bh_mul = _exp2(ctx_mul.dev.barrett_hi)
-    p_ct = _exp2(ctx.dev.p)
+    mul_m, add_m = _ops_for(ctx_mul)
+    _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
     def step(a0, a1):
@@ -186,22 +241,20 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
         new_rows = ntt_forward_any(ctx_mul, new_rows,
                                    limb_slice=slice(k, k_mul))
         ext = jnp.concatenate([x, new_rows], axis=-4)
-        a0e, a1e = _pairs(ext[0]), _pairs(ext[1])
+        a0e, a1e = ext[0], ext[1]
 
-        c0 = zq.mul_mod(a0e, a0e, bl_mul, bh_mul, p_mul)
-        c1 = zq.mul_mod(a0e, a1e, bl_mul, bh_mul, p_mul)
-        c1 = zq.add_mod(c1, c1, p_mul)
-        c2 = zq.mul_mod(a1e, a1e, bl_mul, bh_mul, p_mul)
-        t = jnp.stack([_stack(c0), _stack(c1), _stack(c2)])
+        c0 = mul_m(a0e, a0e)
+        c1 = mul_m(a0e, a1e)
+        c1 = add_m(c1, c1)
+        c2 = mul_m(a1e, a1e)
+        t = jnp.stack([c0, c1, c2])
 
         t_pb = ntt_backward_any(ctx_mul, t)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)
         c01 = ntt_forward_any(ctx, dsc[:2])
 
         ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
-        out0 = zq.add_mod(_pairs(c01[0]), _pairs(ks0), p_ct)
-        out1 = zq.add_mod(_pairs(c01[1]), _pairs(ks1), p_ct)
-        return _stack(out0), _stack(out1)
+        return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
     return jax.jit(step)
 
@@ -253,15 +306,14 @@ def make_rotate(par: BfvParameters, gk, level: int = 0):
     ksk = gk.ksk
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
     perm = np.asarray(element.perm_ntt)
-    p_ct = _exp2(ctx.dev.p)
+    _, add_c = _ops_for(ctx)
 
     def step(c0, c1):
         s0 = _fold(jnp.take(_unfold(c0), jnp.asarray(perm), axis=-1))
         s1 = _fold(jnp.take(_unfold(c1), jnp.asarray(perm), axis=-1))
         c2_pb = ntt_backward_any(ctx, s1)
         ks0, ks1 = _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1)
-        out0 = zq.add_mod(_pairs(ks0), _pairs(s0), p_ct)
-        return _stack(out0), ks1
+        return add_c(ks0, s0), ks1
 
     return jax.jit(step)
 
