@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from tpufhe.bfv.parameters import BfvParameters
 from tpufhe.ops.rns import RnsContext
 from tpufhe.ops.rq import (
@@ -23,9 +25,20 @@ from tpufhe.ops.rq import (
     POWER_BASIS,
     Poly,
     _lazy_const_ntt_fn,
+    _scalar_mul_fn,
     pack_u64,
 )
-from tpufhe.utils.rngs import ChaCha8Rng
+from tpufhe.utils.rngs import ChaCha8Rng, expand_seed
+from tpufhe.utils.sampling import sample_vec_cbd
+
+
+def _unstack(p: Poly, size: int) -> list:
+    """Split a row-batched poly (size, k, planes, S, L) into row polys."""
+    return [
+        Poly(p.ctx, p.representation, p.coeffs[i],
+             None if p.coeffs_shoup is None else p.coeffs_shoup[i])
+        for i in range(size)
+    ]
 
 
 class KeySwitchingKey:
@@ -73,45 +86,89 @@ class KeySwitchingKey:
 
     @staticmethod
     def _generate_c1(ctx, seed: bytes, size: int) -> list:
-        """Seed-chained uniform polys (key_switching_key.rs:108-123)."""
+        """Seed-chained uniform polys (key_switching_key.rs:108-123).
+
+        All rows share ONE batched device program (sampling stays host-side
+        and draws in exactly the per-row order of the reference)."""
         rng = ChaCha8Rng(seed)
-        out = []
+        mats = []
         for _ in range(size):
-            seed_i = rng.fill_bytes(32)
-            out.append(Poly.random_from_seed(ctx, seed_i, NTT).into_ntt_shoup())
-        return out
+            prng = expand_seed(rng.fill_bytes(32))
+            mats.append(
+                np.stack([q.random_vec(ctx.degree, prng) for q in ctx.q])
+            )
+        batched = Poly.from_u64_matrix(np.stack(mats), ctx, NTT_SHOUP)
+        return _unstack(batched, size)
+
+    @staticmethod
+    def _generate_c0_scaled(sk, from_poly: Poly, c1: list, rng,
+                            row_scalars: list) -> list:
+        """b_i = e_i - a_i*s + row_scalars[i]*from, all rows in one batched
+        program per op (error draws keep the reference's row order)."""
+        size = len(c1)
+        ctx = c1[0].ctx
+        s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
+        a = Poly(ctx, NTT, jnp.stack([p.coeffs for p in c1]))  # (size, ...)
+        a_s = (a * s).into_power_basis()
+
+        e_rows = [
+            sample_vec_cbd(ctx.degree, sk.par.variance, rng)
+            for _ in range(size)
+        ]
+        e = Poly(ctx, POWER_BASIS, jnp.stack([
+            Poly.from_i64_coeffs(r, ctx).coeffs for r in e_rows
+        ]))
+        b = e - a_s
+
+        # per-row scalar projected through the RNS: (size, k) constants
+        sm = np.array(
+            [[int(g) % m for m in ctx.moduli] for g in row_scalars],
+            dtype=np.uint64,
+        )
+        if ctx.narrow:
+            term = _scalar_mul_fn(ctx)(
+                from_poly.coeffs,
+                sm.astype(np.uint32),
+                np.array([[q.shoup32(int(v)) for q, v in zip(ctx.q, row)]
+                          for row in sm], dtype=np.uint32),
+            )
+        else:
+            shoup = np.array(
+                [[q.shoup(int(v)) for q, v in zip(ctx.q, row)] for row in sm],
+                dtype=object,
+            )
+
+            def pairs(arr):
+                a64 = np.array(
+                    [[int(v) & 0xFFFFFFFFFFFFFFFF for v in row]
+                     for row in arr], dtype=np.uint64)
+                return ((a64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                        (a64 >> np.uint64(32)).astype(np.uint32))
+
+            term = _scalar_mul_fn(ctx)(from_poly.coeffs, pairs(sm),
+                                       pairs(shoup))
+        b = b + Poly(ctx, POWER_BASIS, term)
+        return _unstack(b.into_ntt_shoup(), size)
 
     @staticmethod
     def _generate_c0(sk, from_poly: Poly, c1: list, rng) -> list:
         if not c1:
             raise ValueError("Empty number of c1's")
-        size = len(c1)
-        ctx = c1[0].ctx
-        s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
-        rns = RnsContext(list(sk.par.moduli[:size]))
-        out = []
-        for i, c1i in enumerate(c1):
-            a_s = (c1i.into_ntt_from_shoup() * s).into_power_basis()
-            b = Poly.small(ctx, sk.par.variance, rng) - a_s
-            gi = rns.get_garner(i)
-            b = b + from_poly.scalar_mul(gi)
-            out.append(b.into_ntt_shoup())
-        return out
+        rns = RnsContext(list(sk.par.moduli[: len(c1)]))
+        return KeySwitchingKey._generate_c0_scaled(
+            sk, from_poly, c1, rng,
+            [rns.get_garner(i) for i in range(len(c1))],
+        )
 
     @staticmethod
     def _generate_c0_decomposition(sk, from_poly: Poly, c1: list, rng,
                                    log_base: int) -> list:
         if not c1:
             raise ValueError("Empty number of c1's")
-        ctx = c1[0].ctx
-        s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
-        out = []
-        for i, c1i in enumerate(c1):
-            a_s = (c1i.into_ntt_from_shoup() * s).into_power_basis()
-            b = Poly.small(ctx, sk.par.variance, rng) - a_s
-            b = b + from_poly.scalar_mul(1 << (i * log_base))
-            out.append(b.into_ntt_shoup())
-        return out
+        return KeySwitchingKey._generate_c0_scaled(
+            sk, from_poly, c1, rng,
+            [1 << (i * log_base) for i in range(len(c1))],
+        )
 
     def key_switch(self, p: Poly) -> tuple:
         """(c0, c1) = sum_i decomp_i(p) * (ksk.c0_i, ksk.c1_i)."""

@@ -816,7 +816,7 @@ class Poly:
         p = Poly(ctx, representation if representation != NTT_SHOUP else NTT,
                  jnp.asarray(packed))
         if representation == NTT_SHOUP:
-            p = p.compute_shoup()
+            p = p.compute_shoup().with_representation(NTT_SHOUP)
         return p
 
     @staticmethod
