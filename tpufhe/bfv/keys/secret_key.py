@@ -48,19 +48,39 @@ class SecretKey:
         assert pt.par == self.par
         return self.encrypt_poly(pt.to_poly(), rng)
 
+    def _decrypt_phase_fn(self, level: int):
+        """Cached fused (c0, c1) -> scaled plaintext-context residues."""
+        if not hasattr(self, "_dec_fns"):
+            self._dec_fns = {}
+        if level not in self._dec_fns:
+            from tpufhe.pipeline import make_decrypt_phase
+
+            self._dec_fns[level] = make_decrypt_phase(self.par, self, level)
+        return self._dec_fns[level]
+
     def try_decrypt(self, ct: Ciphertext) -> Plaintext:
         if ct.par != self.par:
             raise ValueError("Incompatible BFV parameters")
         ctx = ct[0].ctx
-        s = self._s_poly(ctx)
-        si = s
-        c = ct[0]
-        for i in range(1, len(ct)):
-            c = c + (ct[i] * si)
-            if i + 1 < len(ct):
-                si = si * s
         ctx_lvl = self.par.context_level_at(ct.level)
-        d = ctx_lvl.cipher_plain_context.scaler.scale(c.into_power_basis())
+        if len(ct) == 2:
+            # fused pipeline: one program instead of ~40 eager dispatches
+            from tpufhe.ops.rq import POWER_BASIS
+
+            d_coeffs = self._decrypt_phase_fn(ct.level)(
+                ct[0].coeffs, ct[1].coeffs
+            )
+            plain_ctx = ctx_lvl.cipher_plain_context.plaintext_context
+            d = Poly(plain_ctx, POWER_BASIS, d_coeffs)
+        else:
+            s = self._s_poly(ctx)
+            si = s
+            c = ct[0]
+            for i in range(1, len(ct)):
+                c = c + (ct[i] * si)
+                if i + 1 < len(ct):
+                    si = si * s
+            d = ctx_lvl.cipher_plain_context.scaler.scale(c.into_power_basis())
 
         t = self.par.plaintext.value
         q0 = self.par.moduli[0]

@@ -262,23 +262,29 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
 def make_decrypt_phase(par: BfvParameters, sk, level: int = 0):
     """Jitted phase + t/q scaling: (c0, c1) -> plaintext-context residues.
 
-    The final small mod-t fold stays host-side (it needs exact big ints only
-    on the first limb row, secret_key.rs:233-260).
+    The secret key enters as a runtime argument (bound with partial), so
+    one compiled program serves every secret key of the same parameters.
+    The final small mod-t fold stays host-side (it needs exact big ints
+    only on the first limb row, secret_key.rs:233-260).
     """
     ctx = par.context_at_level(level)
     ctx_lvl = par.context_level_at(level)
-    s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
-    s_np = _np_pairs(s.coeffs)
+    s_np = _np_pairs(
+        Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt().coeffs)
     scaler = ctx_lvl.cipher_plain_context.scaler
 
-    def step(c0, c1):
+    @partial(jax.jit)
+    def step(c0, c1, s_coeffs):
         p0 = Poly(ctx, NTT, c0)
         p1 = Poly(ctx, NTT, c1)
-        phase = p0 + (p1 * Poly(ctx, NTT, jnp.asarray(s_np)))
+        phase = p0 + (p1 * Poly(ctx, NTT, s_coeffs))
         d = scaler.scale(phase.into_power_basis())
         return d.coeffs
 
-    return jax.jit(step)
+    def bound(c0, c1):
+        return step(c0, c1, s_np)
+
+    return bound
 
 
 def make_encrypt_with_seed_expansion(par: BfvParameters, sk, level: int = 0):
