@@ -32,16 +32,31 @@ class SecretKey:
     def _s_poly(self, ctx) -> Poly:
         return Poly.from_i64_coeffs(self.coeffs, ctx).into_ntt()
 
+    def _encrypt_fn(self, level: int):
+        if not hasattr(self, "_enc_fns"):
+            self._enc_fns = {}
+        if level not in self._enc_fns:
+            from tpufhe.pipeline import make_encrypt_with_seed_expansion
+
+            self._enc_fns[level] = make_encrypt_with_seed_expansion(
+                self.par, self, level
+            )
+        return self._enc_fns[level]
+
     def encrypt_poly(self, p: Poly, rng) -> Ciphertext:
-        """Symmetric encryption of an NTT-representation polynomial."""
+        """Symmetric encryption of an NTT-representation polynomial.
+
+        Host-side sampling (seed expansion, CBD — reference draw order),
+        then ONE fused device program: b = NTT(e) - a*s + m."""
         assert p.representation == NTT
         level = self.par.level_of_context(p.ctx)
         seed = rng.fill_bytes(32)
-        s = self._s_poly(p.ctx)
         a = Poly.random_from_seed(p.ctx, seed, NTT)
-        a_s = a * s
-        b = Poly.small(p.ctx, self.par.variance, rng, NTT)
-        b = (b - a_s) + p
+        e = Poly.from_i64_coeffs(
+            sample_vec_cbd(p.ctx.degree, self.par.variance, rng), p.ctx
+        )
+        b_coeffs = self._encrypt_fn(level)(a.coeffs, e.coeffs, p.coeffs)
+        b = Poly(p.ctx, NTT, b_coeffs)
         return Ciphertext(self.par, [b, a], level, seed=seed)
 
     def try_encrypt(self, pt: Plaintext, rng) -> Ciphertext:

@@ -288,21 +288,28 @@ def make_decrypt_phase(par: BfvParameters, sk, level: int = 0):
 
 
 def make_encrypt_with_seed_expansion(par: BfvParameters, sk, level: int = 0):
-    """Jitted symmetric encryption core: given a (expanded from seed) and the
-    error polynomial e, compute b = e - a*s + m (secret_key.rs:102-137).
-    Sampling stays host-side (ChaCha8 parity), the arithmetic fuses."""
+    """Jitted symmetric encryption core: given the seed-expanded uniform a
+    (already NTT-domain values), the power-basis error e, and the message
+    poly m, compute b = e - a*s + m in one program (secret_key.rs:102-137).
+    Sampling stays host-side (ChaCha8 parity); the error NTT and all the
+    arithmetic fuse. The secret key is a runtime argument, so one
+    executable serves every key of the same parameters."""
     ctx = par.context_at_level(level)
-    s = Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt()
-    s_np = _np_pairs(s.coeffs)
+    s_np = _np_pairs(
+        Poly.from_i64_coeffs(sk.coeffs, ctx).into_ntt().coeffs)
 
-    def step(a, e, m):
+    @partial(jax.jit)
+    def step(a, e_pb, m, s_coeffs):
         pa = Poly(ctx, NTT, a)
-        pe = Poly(ctx, NTT, e)
+        pe = Poly(ctx, POWER_BASIS, e_pb).into_ntt()
         pm = Poly(ctx, NTT, m)
-        b = (pe - (pa * Poly(ctx, NTT, jnp.asarray(s_np)))) + pm
+        b = (pe - (pa * Poly(ctx, NTT, s_coeffs))) + pm
         return b.coeffs
 
-    return jax.jit(step)
+    def bound(a, e_pb, m):
+        return step(a, e_pb, m, s_np)
+
+    return bound
 
 
 def make_rotate(par: BfvParameters, gk, level: int = 0):
