@@ -21,6 +21,15 @@ class PublicKey:
         c = sk.try_encrypt(zero, rng)
         return PublicKey(sk.par, c)
 
+    def _encrypt_fn(self, level: int):
+        if not hasattr(self, "_enc_fns"):
+            self._enc_fns = {}
+        if level not in self._enc_fns:
+            from tpufhe.pipeline import make_pk_encrypt
+
+            self._enc_fns[level] = make_pk_encrypt(self.par, level)
+        return self._enc_fns[level]
+
     def try_encrypt(self, pt: Plaintext, rng) -> Ciphertext:
         ct = self.c
         if ct.level != pt.level:
@@ -28,10 +37,20 @@ class PublicKey:
             while ct.level != pt.level:
                 ct.switch_down()
         ctx = self.par.context_at_level(ct.level)
-        u = Poly.small(ctx, self.par.variance, rng, NTT)
-        e1 = Poly.small(ctx, self.par.variance, rng, NTT)
-        e2 = Poly.small(ctx, self.par.variance, rng, NTT)
+        # CBD draws in the reference's order (u, e1, e2), then ONE program
+        from tpufhe.utils.sampling import sample_vec_cbd
+
+        var = self.par.variance
+        u = Poly.from_i64_coeffs(sample_vec_cbd(ctx.degree, var, rng), ctx)
+        e1 = Poly.from_i64_coeffs(sample_vec_cbd(ctx.degree, var, rng), ctx)
+        e2 = Poly.from_i64_coeffs(sample_vec_cbd(ctx.degree, var, rng), ctx)
         m = pt.to_poly()
-        c0 = (u * ct[0]) + e1 + m
-        c1 = (u * ct[1]) + e2
-        return Ciphertext(self.par, [c0, c1], ct.level)
+        c0, c1 = self._encrypt_fn(ct.level)(
+            u.coeffs, e1.coeffs, e2.coeffs, m.coeffs,
+            ct[0].coeffs, ct[1].coeffs,
+        )
+        return Ciphertext(
+            self.par,
+            [Poly(ctx, NTT, c0), Poly(ctx, NTT, c1)],
+            ct.level,
+        )

@@ -312,6 +312,29 @@ def make_encrypt_with_seed_expansion(par: BfvParameters, sk, level: int = 0):
     return bound
 
 
+def make_pk_encrypt(par: BfvParameters, level: int = 0):
+    """Jitted public-key encryption core (public_key.rs:24-37): given the
+    power-basis u/e1/e2 samples, the message poly, and the public key,
+    compute (u*pk0 + e1 + m, u*pk1 + e2) with all three forward NTTs in a
+    single batched call."""
+    ctx = par.context_at_level(level)
+
+    @partial(jax.jit)
+    def step(u_pb, e1_pb, e2_pb, m, pk0, pk1):
+        ntts = ntt_forward_any(ctx, jnp.stack([u_pb, e1_pb, e2_pb]))
+        pu = Poly(ctx, NTT, ntts[0])
+        pe1 = Poly(ctx, NTT, ntts[1])
+        pe2 = Poly(ctx, NTT, ntts[2])
+        p0 = Poly(ctx, NTT, pk0)
+        p1 = Poly(ctx, NTT, pk1)
+        pm = Poly(ctx, NTT, m)
+        c0 = (pu * p0) + pe1 + pm
+        c1 = (pu * p1) + pe2
+        return c0.coeffs, c1.coeffs
+
+    return step
+
+
 def make_rotate(par: BfvParameters, gk, level: int = 0):
     """Jitted Galois rotation (substitute + key switch + add)."""
     ctx = par.context_at_level(level)
