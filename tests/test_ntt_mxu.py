@@ -1,0 +1,118 @@
+"""Bit-exact parity of the MXU four-step NTT vs the butterfly reference.
+
+The MXU path must produce identical arrays to tpufhe.ops.ntt (same
+bit-reversed output order, canonical residues) so the two kernels are
+interchangeable everywhere (CLAUDE.md bit-exactness convention).
+"""
+
+import numpy as np
+import pytest
+
+from tpufhe.ops import ntt as ntt_mod
+from tpufhe.ops import ntt_mxu
+from tpufhe.ops.ntt import NttOperator
+from tpufhe.ops.zq import Modulus
+
+N = 1024  # smallest lane-foldable size: (n1, n2) = (8, 128)
+MODULI = [0x3FFFFFFF000001, 4611686018326724609, 1152921504606584833]
+
+
+@pytest.fixture(scope="module")
+def ops():
+    return [NttOperator.new(Modulus(p), N) for p in MODULI]
+
+
+@pytest.fixture(scope="module")
+def plan(ops):
+    return ntt_mxu.MxuNttPlan.new(ops)
+
+
+def _tables(ops):
+    def pairs(vals):
+        a = np.stack([np.asarray(v, dtype=np.uint64) for v in vals])
+        return np.stack([(a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                         (a >> np.uint64(32)).astype(np.uint32)], axis=1)
+
+    omegas = pairs([op.omegas for op in ops])
+    omegas_s = pairs([op.omegas_shoup for op in ops])
+    zetas = pairs([op.zetas_inv for op in ops])
+    zetas_s = pairs([op.zetas_inv_shoup for op in ops])
+
+    def kpair(vals):
+        a = np.array(vals, dtype=np.uint64)
+        return ((a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (a >> np.uint64(32)).astype(np.uint32))
+
+    p = kpair([op.q.p for op in ops])
+    p2 = kpair([2 * op.q.p for op in ops])
+    ninv = kpair([op.size_inv for op in ops])
+    ninv_s = kpair([op.size_inv_shoup for op in ops])
+    return omegas, omegas_s, zetas, zetas_s, p, p2, ninv, ninv_s
+
+
+def _rand_pairs(rng, ops, bound_mul=1):
+    """(k, 2, n1, n2) uint32 pairs with values < bound_mul * p per limb."""
+    vals = np.stack([
+        rng.integers(0, bound_mul * op.q.p, size=N, dtype=np.uint64)
+        for op in ops
+    ])
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    return np.stack([lo, hi], axis=1).reshape(len(ops), 2, N // 128, 128)
+
+
+def _flat(x):
+    """(k, 2, n1, n2) -> (k, 2, N) for the butterfly API."""
+    return np.asarray(x).reshape(x.shape[0], 2, -1)
+
+
+def test_forward_parity(ops, plan):
+    rng = np.random.default_rng(7)
+    omegas, omegas_s, *_rest = _tables(ops)
+    p, p2 = _rest[2], _rest[3]
+    a = _rand_pairs(rng, ops)
+    want = np.asarray(ntt_mod.forward(_flat(a), omegas, omegas_s, p, p2))
+    got = np.asarray(ntt_mxu.forward_mxu(a, plan))
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_forward_lazy_inputs(ops, plan):
+    """Lazy key-switch inputs (< 4p) must reduce to the same canonical out."""
+    rng = np.random.default_rng(8)
+    omegas, omegas_s, *_rest = _tables(ops)
+    p, p2 = _rest[2], _rest[3]
+    a = _rand_pairs(rng, ops, bound_mul=4)
+    want = np.asarray(ntt_mod.forward(_flat(a), omegas, omegas_s, p, p2))
+    got = np.asarray(ntt_mxu.forward_mxu(a, plan))
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_forward_lazy_output_bound(ops, plan):
+    rng = np.random.default_rng(9)
+    a = _rand_pairs(rng, ops)
+    got = np.asarray(ntt_mxu.forward_mxu(a, plan, lazy=True)).reshape(len(ops), 2, N)
+    vals = got[:, 0].astype(np.uint64) | (got[:, 1].astype(np.uint64) << np.uint64(32))
+    for i, op in enumerate(ops):
+        assert vals[i].max() < 2 * op.q.p
+        canon = vals[i] % np.uint64(op.q.p)
+        full = np.asarray(ntt_mxu.forward_mxu(a, plan)).reshape(len(ops), 2, N)
+        fvals = full[i, 0].astype(np.uint64) | (full[i, 1].astype(np.uint64) << np.uint64(32))
+        np.testing.assert_array_equal(canon, fvals)
+
+
+def test_backward_parity(ops, plan):
+    rng = np.random.default_rng(10)
+    tabs = _tables(ops)
+    zetas, zetas_s, p, p2, ninv, ninv_s = tabs[2], tabs[3], tabs[4], tabs[5], tabs[6], tabs[7]
+    a = _rand_pairs(rng, ops)
+    want = np.asarray(ntt_mod.backward(_flat(a), zetas, zetas_s, ninv, ninv_s, p, p2))
+    got = np.asarray(ntt_mxu.backward_mxu(a, plan))
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_roundtrip_with_batch(ops, plan):
+    """Batched (B, k, 2, n1, n2) forward->backward is the identity."""
+    rng = np.random.default_rng(11)
+    a = np.stack([_rand_pairs(rng, ops) for _ in range(3)])
+    back = np.asarray(ntt_mxu.backward_mxu(ntt_mxu.forward_mxu(a, plan), plan))
+    np.testing.assert_array_equal(back, a)
