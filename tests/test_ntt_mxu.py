@@ -110,6 +110,44 @@ def test_backward_parity(ops, plan):
     np.testing.assert_array_equal(got.reshape(want.shape), want)
 
 
+def test_rq_routing_parity(ops, monkeypatch):
+    """ntt_forward_any/backward_any give identical arrays via the MXU route."""
+    from tpufhe.ops import rq
+
+    ctx = rq.Context([op.q.p for op in ops], N)
+    rng = np.random.default_rng(12)
+    a = _rand_pairs(rng, ops)
+
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "0")
+    want_f = np.asarray(rq.ntt_forward_any(ctx, a))
+    want_fl = np.asarray(rq.ntt_forward_any(ctx, a, lazy=True))
+    want_b = np.asarray(rq.ntt_backward_any(ctx, want_f))
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "1")
+    got_f = np.asarray(rq.ntt_forward_any(ctx, a))
+    got_fl = np.asarray(rq.ntt_forward_any(ctx, a, lazy=True))
+    got_b = np.asarray(rq.ntt_backward_any(ctx, got_f))
+
+    np.testing.assert_array_equal(got_f, want_f)
+    np.testing.assert_array_equal(got_b, want_b)
+    # lazy bounds differ between kernels (< 2p vs < 4p); compare canonically
+    for i, op in enumerate(ops):
+        p = np.uint64(op.q.p)
+        for arr_got, arr_want in ((got_fl, want_fl),):
+            g = arr_got[i, 0].astype(np.uint64) | (
+                arr_got[i, 1].astype(np.uint64) << np.uint64(32))
+            w = arr_want[i, 0].astype(np.uint64) | (
+                arr_want[i, 1].astype(np.uint64) << np.uint64(32))
+            np.testing.assert_array_equal(g % p, w % p)
+
+    # partial-limb slice (the Scaler's ncm.. forward path)
+    sl = slice(1, 3)
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "0")
+    want_s = np.asarray(rq.ntt_forward_any(ctx, a[1:3], limb_slice=sl))
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "1")
+    got_s = np.asarray(rq.ntt_forward_any(ctx, a[1:3], limb_slice=sl))
+    np.testing.assert_array_equal(got_s, want_s)
+
+
 def test_roundtrip_with_batch(ops, plan):
     """Batched (B, k, 2, n1, n2) forward->backward is the identity."""
     rng = np.random.default_rng(11)

@@ -21,6 +21,7 @@ switch-down, Scaler/Switcher, dot products), redesigned TPU-first:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from functools import lru_cache, partial
 
@@ -278,6 +279,17 @@ class _DeviceConsts:
             self._limb_scalars = build_limb_scalars(self._ctx.ops)
         return self._limb_scalars
 
+    def mxu_plan(self, sl: slice):
+        """Cached four-step MXU digit-plane plan for a limb slice."""
+        key = (sl.start, sl.stop, sl.step)
+        if not hasattr(self, "_mxu_plans"):
+            self._mxu_plans = {}
+        if key not in self._mxu_plans:
+            from tpufhe.ops.ntt_mxu import MxuNttPlan
+
+            self._mxu_plans[key] = MxuNttPlan.new(self._ctx.ops[sl])
+        return self._mxu_plans[key]
+
 
 # ---------------------------------------------------------------------------
 # jitted per-context kernels
@@ -293,6 +305,29 @@ def _pallas_ok(ctx: Context) -> bool:
     if ctx.degree < 256 or ctx.degree % 128 != 0:
         return False
     try:
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _mxu_ok(ctx: Context) -> bool:
+    """Route wide-limb NTTs through the four-step MXU path.
+
+    Requires the lane-folded (N/128, 128) split with at least 8 sublanes.
+    Measured 1.2-1.6x faster than the Pallas butterfly kernel on v5e at
+    N=8192/k=7 (benches/mxu_ntt_bench.py). TPUFHE_MXU_NTT=0 opts out,
+    =1 forces it on any backend (CPU parity tests).
+    """
+    flag = os.environ.get("TPUFHE_MXU_NTT", "")
+    if flag == "0":
+        return False
+    if ctx.narrow or ctx.degree < 1024 or ctx.degree % 128 != 0:
+        return False
+    if flag == "1":
+        return True
+    try:
+        import jax as _jax
+
         return _jax.default_backend() == "tpu"
     except Exception:
         return False
@@ -333,6 +368,10 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
         out = ntt_mod.forward32(flat, d.om32[sl], d.oms32[sl], d.p32[sl],
                                 d.p232[sl], lazy=lazy)
         return _fold(out)[..., None, :, :]
+    if _mxu_ok(ctx):
+        from tpufhe.ops.ntt_mxu import forward_mxu
+
+        return forward_mxu(coeffs, d.mxu_plan(sl), lazy=lazy)
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
@@ -368,6 +407,10 @@ def ntt_backward_any(ctx: Context, coeffs):
         out = ntt_mod.backward32(flat, d.zi32, d.zis32, d.ninv32, d.ninvs32,
                                  d.p32, d.p232)
         return _fold(out)[..., None, :, :]
+    if _mxu_ok(ctx):
+        from tpufhe.ops.ntt_mxu import backward_mxu
+
+        return backward_mxu(coeffs, d.mxu_plan(slice(None)))
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
