@@ -148,6 +148,48 @@ def test_rq_routing_parity(ops, monkeypatch):
     np.testing.assert_array_equal(got_s, want_s)
 
 
+def test_full_pipeline_with_mxu_paths(monkeypatch):
+    """mul+relin through the fused pipeline with BOTH MXU paths forced
+    matches the object API bit-exactly (eager CPU, N=2048 wide limbs)."""
+    import jax
+
+    from tpufhe.bfv import (
+        BfvParametersBuilder, Encoding, Plaintext, RelinearizationKey,
+        SecretKey, ct_mul,
+    )
+    from tpufhe.pipeline import make_mul_relin
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "1")
+    monkeypatch.setenv("TPUFHE_MXU_RNS", "1")
+    par = (BfvParametersBuilder().set_degree(2048)
+           .set_plaintext_modulus(65537).set_moduli_sizes([62, 62]).build())
+    r = ChaCha8Rng(seed_from_u64(77))
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r)
+    t = par.plaintext.value
+    rng = np.random.default_rng(13)
+    va = rng.integers(0, t, size=2048, dtype=np.uint64)
+    vb = rng.integers(0, t, size=2048, dtype=np.uint64)
+    ca = sk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
+    cb = sk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
+
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "0")
+    monkeypatch.setenv("TPUFHE_MXU_RNS", "0")
+    want_ct = ct_mul(ca, cb)
+    rk.relinearizes(want_ct)
+
+    monkeypatch.setenv("TPUFHE_MXU_NTT", "1")
+    monkeypatch.setenv("TPUFHE_MXU_RNS", "1")
+    fn = make_mul_relin(par, rk)
+    with jax.disable_jit():
+        out0, out1 = fn(ca[0].coeffs, ca[1].coeffs, cb[0].coeffs, cb[1].coeffs)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(want_ct[0].coeffs))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(want_ct[1].coeffs))
+    got = np.asarray(sk.try_decrypt(want_ct).try_decode(Encoding.simd()))
+    np.testing.assert_array_equal(got.astype(np.uint64), (va * vb) % t)
+
+
 def test_roundtrip_with_batch(ops, plan):
     """Batched (B, k, 2, n1, n2) forward->backward is the identity."""
     rng = np.random.default_rng(11)

@@ -18,6 +18,7 @@ accumulate into 128-bit pairs exactly as the reference's u128 loop
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from math import gcd
 
@@ -31,6 +32,30 @@ from tpufhe.utils.misc import inverse
 
 _M64 = (1 << 64) - 1
 _M128 = (1 << 128) - 1
+
+
+def _mxu_rns_ok(k_in: int) -> bool:
+    """Route wide-path scaling through the int8 digit-plane matmul.
+
+    TPUFHE_MXU_RNS=0 opts out, =1 forces it on any backend (CPU parity
+    tests). Default: TPU backends with k_in >= 5 — the int32 plane
+    intermediates add HBM traffic, so the matmul only pays off when the
+    per-coefficient contraction is wide enough (measured on v5e at
+    N=8192: 7->3 scaling 5.34 -> 4.88 ms, but 3->4 slightly slower).
+    """
+    flag = os.environ.get("TPUFHE_MXU_RNS", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    if k_in < 5:
+        return False
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 class RnsContext:
@@ -294,6 +319,8 @@ class RnsScaler:
         c["barrett_lo"] = _u64_pair_col([q.barrett_lo for q in self.to_ctx.moduli])
         c["barrett_hi"] = _u64_pair_col([q.barrett_hi for q in self.to_ctx.moduli])
 
+        self._mxu_consts = None
+
         # single-lane (w30) constants when the target base is narrow
         self._narrow_ok = all(
             m < (1 << 30) for m in self.to_ctx.moduli_u64
@@ -321,6 +348,77 @@ class RnsScaler:
             ]
         self._device_consts = c
 
+    # ------------------------------------------------------------------
+    # MXU path: the three per-coefficient inner products over input limbs
+    # (theta_garner for v, theta_omega for w, and the per-output-modulus
+    # omega accumulation) are all contractions over (digit-plane, limb)
+    # pairs with constant weights, so they fuse into ONE exact int8
+    # digit-plane matmul (same machinery as tpufhe/ops/ntt_mxu.py):
+    #   - rows 0..27:   S1_s = sum_{a,i} digit_{s-a}(tg_i) * r_plane[a,i]
+    #                   with sum_s S1_s 2^{7s} == sum_i r_i * tg_i exactly;
+    #   - rows 28..55:  same for theta_omega, signs folded into the weights
+    #                   (signed int8), split pos/neg after the matmul;
+    #   - last 9*k_out: C_b[j] = sum_{a,i} digit_b(omega_{j,i} 2^{7a} mod
+    #                   p_j) * r_plane[a,i]; sum_b C_b 2^{7b} < 2^77 folds
+    #                   with one Barrett u128 per output element.
+    # ------------------------------------------------------------------
+
+    _THETA_PLANES = 19  # thetas are < 2^127: ceil(127/7)
+
+    def _build_mxu_consts(self):
+        from tpufhe.ops.ntt_mxu import (
+            DATA_PLANES, DIGIT_BITS, DIGIT_MASK, MAT_PLANES,
+        )
+
+        k_in, k_out = self._k_in, self._k_out
+        tp = self._THETA_PLANES
+        rows_t = DATA_PLANES + tp - 1
+
+        def theta_block(vals, signs=None):
+            w = np.zeros((rows_t, DATA_PLANES, k_in), dtype=np.int8)
+            for i, x in enumerate(vals):
+                sgn = -1 if (signs is not None and signs[i]) else 1
+                for a in range(DATA_PLANES):
+                    for b in range(tp):
+                        d = (int(x) >> (DIGIT_BITS * b)) & DIGIT_MASK
+                        w[a + b, a, i] = sgn * d
+            return w
+
+        blocks = [theta_block(self.theta_garner)]
+        if not self.factor.is_one:
+            blocks.append(
+                theta_block(self.theta_omega, self.theta_omega_sign))
+        w_om = np.zeros((MAT_PLANES, k_out, DATA_PLANES, k_in), dtype=np.int8)
+        for j in range(k_out):
+            p = self.to_ctx.moduli[j].p
+            for i in range(k_in):
+                for a in range(DATA_PLANES):
+                    m = (self.omega[j][i] << (DIGIT_BITS * a)) % p
+                    for b in range(MAT_PLANES):
+                        w_om[b, j, a, i] = (m >> (DIGIT_BITS * b)) & DIGIT_MASK
+        blocks.append(w_om.reshape(MAT_PLANES * k_out, DATA_PLANES, k_in))
+        self._mxu_consts = {
+            "w": np.concatenate(blocks, axis=0),
+            "rows_t": rows_t,
+        }
+
+    @staticmethod
+    def _fold_cols(planes, n_cols):
+        """sum_s planes[..., s, :, :, :] * 2^{7s} as 16-bit column sums.
+
+        planes: uint32 entries < 2^21, stacked on axis -4 (or -3 for the
+        per-output omega fold). Exact while every column stays < 2^32.
+        """
+        zero = jnp.zeros_like(planes[0])
+        cols = [zero] * n_cols
+        for s, cb in enumerate(planes):
+            d0 = cb & U32(0xFFFF)
+            d1 = cb >> U32(16)
+            qc, rc = divmod(7 * s, 16)
+            cols[qc] = cols[qc] + (d0 << U32(rc))
+            cols[qc + 1] = cols[qc + 1] + (d1 << U32(rc))
+        return cols
+
     def scale(self, rests, starting_index: int = 0, size: int | None = None):
         """Device scaling.
 
@@ -335,7 +433,24 @@ class RnsScaler:
         assert not narrow or self._narrow_ok
         c = self._device_consts
 
-        if narrow:
+        use_mxu = not narrow and _mxu_rns_ok(k_in)
+        C = rows_t = None
+        if use_mxu:
+            if self._mxu_consts is None:
+                self._build_mxu_consts()
+            from tpufhe.ops.ntt_mxu import _extract_planes
+
+            planes = _extract_planes(
+                rests[..., :, 0, :, :], rests[..., :, 1, :, :]
+            )  # (..., k_in, A, S, L) int8
+            C = jnp.einsum(
+                "rai,...iauv->...ruv",
+                jnp.asarray(self._mxu_consts["w"]), planes,
+                preferred_element_type=jnp.int32,
+            )
+            rows_t = self._mxu_consts["rows_t"]
+            zero = jnp.zeros(C.shape[:-3] + C.shape[-2:], dtype=jnp.uint32)
+        elif narrow:
             r_lanes = [rests[..., i, 0, :, :] for i in range(k_in)]
             m16 = U32(0xFFFF)
             r_digits = [[r & m16, r >> U32(16)] for r in r_lanes]
@@ -351,9 +466,15 @@ class RnsScaler:
         # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
         # carry-free 16-bit column accumulation (the sum is < 2^195, so the
         # exact column value equals the reference's mod-2^224 accumulator)
-        cols = [zero] * 15
-        for rd, tgd in zip(r_digits, c["tg_digits"]):
-            u64.col_accumulate(cols, rd, tgd)
+        if use_mxu:
+            cols = self._fold_cols(
+                [C[..., s, :, :].astype(jnp.uint32) for s in range(rows_t)],
+                15,
+            )
+        else:
+            cols = [zero] * 15
+            for rd, tgd in zip(r_digits, c["tg_digits"]):
+                u64.col_accumulate(cols, rd, tgd)
         acc = u64.cols_to_limbs(cols, 7)
         acc = u64.mp_shr(acc, self.theta_garner_shift - 1)
         s4 = acc[:4]  # truncate to u128 (as_u128)
@@ -364,14 +485,21 @@ class RnsScaler:
         w_sign = None
         w_pairs = None
         if not self.factor.is_one:
-            pos_cols = [zero] * 17
-            neg_cols = [zero] * 17
-            for rd, tod, sign in zip(
-                r_digits, c["to_digits"], self.theta_omega_sign
-            ):
-                u64.col_accumulate(
-                    neg_cols if sign else pos_cols, rd, tod
-                )
+            if use_mxu:
+                s2 = [C[..., rows_t + s, :, :] for s in range(rows_t)]
+                pos_cols = self._fold_cols(
+                    [jnp.maximum(x, 0).astype(jnp.uint32) for x in s2], 17)
+                neg_cols = self._fold_cols(
+                    [jnp.maximum(-x, 0).astype(jnp.uint32) for x in s2], 17)
+            else:
+                pos_cols = [zero] * 17
+                neg_cols = [zero] * 17
+                for rd, tod, sign in zip(
+                    r_digits, c["to_digits"], self.theta_omega_sign
+                ):
+                    u64.col_accumulate(
+                        neg_cols if sign else pos_cols, rd, tod
+                    )
             # v * theta_gamma: 128x128 -> 256 bits, same column scheme
             vd = u64.digits16((v[0], v[1])) + u64.digits16((v[2], v[3]))
             u64.col_accumulate(
@@ -463,11 +591,29 @@ class RnsScaler:
             )
             acc128 = _acc128_add64(acc128, term)
 
-        for i in range(k_in):
-            om, oms = c["omega_cols"][i]
-            r = (r_pairs[i][0][..., None, :, :], r_pairs[i][1][..., None, :, :])
-            term = zq.lazy_mul_shoup(r, slc(om), slc(oms), p_s)
-            acc128 = _acc128_add64(acc128, term)
+        if use_mxu:
+            from tpufhe.ops.ntt_mxu import MAT_PLANES
+
+            ofs = rows_t * (1 if self.factor.is_one else 2)
+            k_out = self._k_out
+            omega_planes = [
+                C[..., ofs + b * k_out + starting_index
+                     : ofs + b * k_out + starting_index + size, :, :]
+                .astype(jnp.uint32)
+                for b in range(MAT_PLANES)
+            ]
+            cols6 = self._fold_cols(omega_planes, 6)
+            l0, l1, l2 = u64.cols_to_limbs(cols6, 3)
+            o_term = zq.lazy_reduce_u128(
+                (l0, l1, l2, jnp.zeros_like(l2)), bl_s, bh_s, p_s)
+            acc128 = _acc128_add64(acc128, o_term)
+        else:
+            for i in range(k_in):
+                om, oms = c["omega_cols"][i]
+                r = (r_pairs[i][0][..., None, :, :],
+                     r_pairs[i][1][..., None, :, :])
+                term = zq.lazy_mul_shoup(r, slc(om), slc(oms), p_s)
+                acc128 = _acc128_add64(acc128, term)
 
         out = zq.reduce_u128(acc128, bl_s, bh_s, p_s)
         return jnp.stack([out[0], out[1]], axis=-3)
