@@ -150,7 +150,7 @@ def test_rq_routing_parity(ops, monkeypatch):
 
 def test_full_pipeline_with_mxu_paths(monkeypatch):
     """mul+relin through the fused pipeline with BOTH MXU paths forced
-    matches the object API bit-exactly (eager CPU, N=2048 wide limbs)."""
+    matches the object API bit-exactly (eager CPU, N=1024 wide limbs)."""
     import jax
 
     from tpufhe.bfv import (
@@ -162,15 +162,15 @@ def test_full_pipeline_with_mxu_paths(monkeypatch):
 
     monkeypatch.setenv("TPUFHE_MXU_NTT", "1")
     monkeypatch.setenv("TPUFHE_MXU_RNS", "1")
-    par = (BfvParametersBuilder().set_degree(2048)
+    par = (BfvParametersBuilder().set_degree(1024)
            .set_plaintext_modulus(65537).set_moduli_sizes([62, 62]).build())
     r = ChaCha8Rng(seed_from_u64(77))
     sk = SecretKey.random(par, r)
     rk = RelinearizationKey.new(sk, r)
     t = par.plaintext.value
     rng = np.random.default_rng(13)
-    va = rng.integers(0, t, size=2048, dtype=np.uint64)
-    vb = rng.integers(0, t, size=2048, dtype=np.uint64)
+    va = rng.integers(0, t, size=1024, dtype=np.uint64)
+    vb = rng.integers(0, t, size=1024, dtype=np.uint64)
     ca = sk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
     cb = sk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
 
