@@ -1,25 +1,247 @@
-"""Benchmark: batched BFV ciphertext multiply+relinearize throughput.
+"""BASELINE tracked-config benchmarks on the live accelerator.
 
-Tracked config #3 of BASELINE.md: N=8192, L=3 RNS limbs (62-bit), the
-north-star metric. Runs the fused jitted pipeline (tpufhe.pipeline) on
-whatever accelerator JAX provides (the real TPU chip under the driver).
+Measures all five tracked configs of BASELINE.md (VERDICT r1 item 5):
+  #1 enc/dec roundtrip        N=2048,  L=1
+  #2 SIMD add + pt-mul        N=4096,  L=2
+  #3 ct-mul + relin           N=8192,  L=3   <- the north-star headline
+  #4 Galois rotation          N=8192,  L=4
+  #5 PIR-style mul+relin      N=16384, L=6
+plus (optionally, BENCH_SCALING=1) a 1->8 virtual-CPU-device scaling
+efficiency number from benches/scaling.py.
 
-Prints ONE JSON line:
+Prints one JSON line per config; the HEADLINE (#3) is printed LAST so
+drivers that parse the final line keep tracking the north-star metric:
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
+vs_baseline for #3: measured / 62500 (1e6 mul+relin/s on a v5p-16 spread
+over 16 chips). Methodology per CLAUDE.md: chained inputs defeat the
+runtime's execution memoization; a tiny device->host fetch synchronizes.
 
-vs_baseline: the north star is 1e6 mul+relin/s on a v5p-16 (16 chips),
-i.e. 62500 ops/s/chip; vs_baseline = measured_per_chip / 62500.
+Env knobs: BENCH_DEGREE/BENCH_LIMBS/BENCH_LIMB_BITS/BENCH_BATCH/
+BENCH_ITERS override the headline config; BENCH_ONLY=3 runs only the
+headline; BENCH_BUDGET_S caps aux-config time (default 2400).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "")
 import numpy as np
+
+
+def _sync(*arrays):
+    """block_until_ready does not truly synchronize on the tunneled
+    runtime; force completion with a tiny device->host fetch."""
+    import jax
+
+    jax.block_until_ready(arrays)
+    for a in arrays:
+        leaf = jax.tree_util.tree_leaves(a)[0]
+        np.asarray(leaf.ravel()[0])
+
+
+def _rand_ct_arrays(ctx, batch, n, count=4, seed=0):
+    import jax
+    from tpufhe.ops.rq import pack_u64
+
+    nprng = np.random.default_rng(seed)
+    arrs = []
+    for _ in range(count):
+        mat = np.stack(
+            [
+                nprng.integers(0, m, size=(batch, n), dtype=np.uint64)
+                for m in ctx.moduli
+            ],
+            axis=1,
+        )
+        packed = pack_u64(mat)
+        if ctx.narrow:
+            packed = packed[..., :1, :, :]
+        arrs.append(jax.device_put(packed))
+    return arrs
+
+
+def _emit(metric, value, unit, **extra):
+    line = {"metric": metric, "value": round(value, 4), "unit": unit}
+    line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _build_params(degree, limb_bits, n_limbs, t=1153):
+    from tpufhe.bfv import BfvParametersBuilder
+
+    return (
+        BfvParametersBuilder()
+        .set_degree(degree)
+        .set_plaintext_modulus(t)
+        .set_moduli_sizes([limb_bits] * n_limbs)
+        .build()
+    )
+
+
+def _keys(par, seed=42, relin=True):
+    from tpufhe.bfv import RelinearizationKey, SecretKey
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    rng = ChaCha8Rng(seed_from_u64(seed))
+    sk = SecretKey.random(par, rng)
+    rk = RelinearizationKey.new(sk, rng) if relin else None
+    return sk, rk, rng
+
+
+def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
+                    vs_baseline=False):
+    """Host-loop chained mul+relin throughput (configs #3 and #5)."""
+    from tpufhe.pipeline import make_mul_relin
+
+    par = _build_params(degree, limb_bits, n_limbs)
+    sk, rk, _ = _keys(par)
+    fn = make_mul_relin(par, rk)
+    ctx = par.context_at_level(0)
+    arrs = _rand_ct_arrays(ctx, batch, degree)
+
+    out = fn(*arrs)
+    _sync(out)
+    a0, a1, b0, b1 = out[0], out[1], arrs[2], arrs[3]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a0, a1 = fn(a0, a1, b0, b1)
+    _sync(a0, a1)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    extra = {}
+    if vs_baseline:
+        extra["vs_baseline"] = round(ops / (1e6 / 16), 4)
+    _emit(metric, ops, "ciphertext_mul+relin/s/chip", batch=batch, **extra)
+    return ops
+
+
+def bench_enc_dec(batch, iters):
+    """Config #1: symmetric enc + decrypt-phase roundtrip at N=2048/L=1."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufhe.pipeline import (
+        make_decrypt_phase,
+        make_encrypt_with_seed_expansion,
+    )
+
+    degree = 2048
+    par = _build_params(degree, 62, 1)
+    sk, _, rng = _keys(par, relin=False)
+    enc = make_encrypt_with_seed_expansion(par, sk)
+    dec = make_decrypt_phase(par, sk)
+    ctx = par.context_at_level(0)
+
+    a, e, m = _rand_ct_arrays(ctx, batch, degree, count=3, seed=1)
+    # chain glue: reuse decrypt output's first limb row as the next message
+    # (mask the hi plane so the value stays < p; valid residues, fresh
+    # inputs every iteration so executions cannot be memoized)
+    mask = np.zeros((2, 1, 1), dtype=np.uint32)
+    mask[0, 0, 0] = 0xFFFFFFFF
+    mask[1, 0, 0] = 0x0FFFFFFF
+    mask = jnp.asarray(mask)
+
+    def glue(d):
+        return (d[..., :1, :, :, :] & mask).astype(jnp.uint32)
+
+    b = enc(a, e, m)
+    d = dec(b, a)
+    _sync(d)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        m = glue(d)
+        b = enc(a, e, m)
+        d = dec(b, a)
+    _sync(d)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    _emit("bfv_encrypt_decrypt_roundtrip_n2048_l1", ops,
+          "enc+dec_roundtrips/s/chip", batch=batch)
+    return ops
+
+
+def bench_add_ptmul(batch, iters):
+    """Config #2: SIMD ct-add + pt-mul at N=4096/L=2, fused program."""
+    import jax
+
+    from tpufhe.ops.rq import NTT, Poly
+
+    degree = 4096
+    par = _build_params(degree, 62, 2)
+    ctx = par.context_at_level(0)
+
+    a0, a1, b0, b1, w = _rand_ct_arrays(ctx, batch, degree, count=5, seed=2)
+
+    @jax.jit
+    def step(a0, a1, b0, b1):
+        pw = Poly(ctx, NTT, w)  # plaintext NTT poly (batched)
+        o0 = (Poly(ctx, NTT, a0) + Poly(ctx, NTT, b0)) * pw
+        o1 = (Poly(ctx, NTT, a1) + Poly(ctx, NTT, b1)) * pw
+        return o0.coeffs, o1.coeffs
+
+    out = step(a0, a1, b0, b1)
+    _sync(out)
+    x0, x1 = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1 = step(x0, x1, b0, b1)
+    _sync(x0, x1)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    _emit("bfv_simd_add_ptmul_n4096_l2", ops, "add+pt_mul/s/chip",
+          batch=batch)
+    return ops
+
+
+def bench_rotate(batch, iters):
+    """Config #4: Galois rotation (substitute+key switch) at N=8192/L=4."""
+    from tpufhe.bfv import GaloisKey
+    from tpufhe.pipeline import make_rotate
+
+    degree = 8192
+    par = _build_params(degree, 62, 4)
+    sk, _, rng = _keys(par, relin=False)
+    gk = GaloisKey.new(sk, 3, 0, 0, rng)
+    fn = make_rotate(par, gk)
+    ctx = par.context_at_level(0)
+    c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=3)
+
+    out = fn(c0, c1)
+    _sync(out)
+    x0, x1 = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1 = fn(x0, x1)
+    _sync(x0, x1)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    _emit("bfv_rotate_columns_n8192_l4", ops, "rotations/s/chip",
+          batch=batch)
+    return ops
+
+
+def bench_scaling():
+    """1 -> 8 virtual CPU device scaling (subprocess, cpu platform)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benches", "scaling.py")],
+            capture_output=True, text=True, timeout=1800, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+    except Exception as e:  # never break the headline on scaling failure
+        _emit("scaling_efficiency_1_to_8_virtual_cpu", -1.0, "error",
+              error=str(e)[:120])
 
 
 def main():
@@ -30,75 +252,48 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from tpufhe.bfv import BfvParametersBuilder, RelinearizationKey, SecretKey
-    from tpufhe.ops.rq import pack_u64
-    from tpufhe.pipeline import make_mul_relin
-    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
-
     degree = int(os.environ.get("BENCH_DEGREE", 8192))
     limb_bits = int(os.environ.get("BENCH_LIMB_BITS", 62))
-    # same log q as the 3x62-bit reference config when narrow limbs are used
     default_limbs = 3 if limb_bits > 30 else -((-62 * 3) // limb_bits)
     n_limbs = int(os.environ.get("BENCH_LIMBS", default_limbs))
-    batch = int(os.environ.get("BENCH_BATCH", 16))
+    batch = int(os.environ.get("BENCH_BATCH", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
+    only = os.environ.get("BENCH_ONLY", "")
+    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
 
-    par = (
-        BfvParametersBuilder()
-        .set_degree(degree)
-        .set_plaintext_modulus(1153)
-        .set_moduli_sizes([limb_bits] * n_limbs)
-        .build()
-    )
-    rng = ChaCha8Rng(seed_from_u64(42))
-    sk = SecretKey.random(par, rng)
-    rk = RelinearizationKey.new(sk, rng)
-    fn = make_mul_relin(par, rk)
+    start = time.time()
 
-    ctx = par.context_at_level(0)
-    nprng = np.random.default_rng(0)
-    arrs = []
-    for _ in range(4):
-        mat = np.stack(
-            [
-                nprng.integers(0, m, size=(batch, degree), dtype=np.uint64)
-                for m in ctx.moduli
-            ],
-            axis=1,
-        )
-        packed = pack_u64(mat)
-        if ctx.narrow:
-            packed = packed[..., :1, :, :]
-        arrs.append(jax.device_put(packed))
+    def within_budget():
+        return time.time() - start < budget
 
-    # warmup / compile
-    out = fn(*arrs)
-    jax.block_until_ready(out)
-    arrs = [out[0], out[1], arrs[2], arrs[3]]
+    if only != "3":
+        for name, fn in (
+            ("encdec", lambda: bench_enc_dec(batch=batch, iters=iters)),
+            ("addptmul", lambda: bench_add_ptmul(batch=batch, iters=iters)),
+            ("rotate", lambda: bench_rotate(batch=min(batch, 32),
+                                            iters=iters)),
+            ("pir16384", lambda: bench_mul_relin(
+                16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
+                metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b")),
+        ):
+            if not within_budget():
+                _emit(f"skipped_{name}", -1.0, "budget_exceeded")
+                continue
+            try:
+                fn()
+            except Exception as e:
+                _emit(f"failed_{name}", -1.0, "error", error=str(e)[:160])
+        if os.environ.get("BENCH_SCALING", "0") == "1" and within_budget():
+            bench_scaling()
 
-    # chained iterations: outputs feed the next call so the runtime cannot
-    # elide repeated identical executions
-    t0 = time.perf_counter()
-    a0, a1, b0, b1 = arrs
-    for _ in range(iters):
-        a0, a1 = fn(a0, a1, b0, b1)
-    jax.block_until_ready((a0, a1))
-    dt = time.perf_counter() - t0
-
-    ops_per_s = batch * iters / dt
-    target_per_chip = 1e6 / 16  # north star spread over a v5p-16
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"bfv_mul_relin_ops_per_s_per_chip_n{degree}"
-                    f"_l{n_limbs}x{limb_bits}b"
-                ),
-                "value": round(ops_per_s, 3),
-                "unit": "ciphertext_mul+relin/s/chip",
-                "vs_baseline": round(ops_per_s / target_per_chip, 4),
-            }
-        )
+    # headline LAST: config #3 (or the env-overridden variant)
+    bench_mul_relin(
+        degree, limb_bits, n_limbs, batch=batch, iters=iters,
+        metric=(
+            f"bfv_mul_relin_ops_per_s_per_chip_n{degree}"
+            f"_l{n_limbs}x{limb_bits}b"
+        ),
+        vs_baseline=True,
     )
 
 

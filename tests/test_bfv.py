@@ -141,11 +141,17 @@ def test_ct_mul_and_relinearize():
     got = np.asarray(sk.try_decrypt(prod2).try_decode(Encoding.simd()))
     np.testing.assert_array_equal(got, want)
 
-    # square fast path
-    sq = ct_mul(ca, ca)
-    got = np.asarray(sk.try_decrypt(sq).try_decode(Encoding.simd()))
+    # square fast path: identity, value equality (clone), and ct_square
+    # must all take it and agree (ops/mod.rs:259-341 squares on value)
+    from tpufhe.bfv import ct_square
+    from tpufhe.bfv.ops import _ct_value_equal
+
+    assert _ct_value_equal(ca, ca.clone())
+    assert not _ct_value_equal(ca, cb)
     want_sq = ((va.astype(object) ** 2) % t).astype(np.uint64)
-    np.testing.assert_array_equal(got, want_sq)
+    for sq in (ct_mul(ca, ca), ct_mul(ca, ca.clone()), ct_square(ca)):
+        got = np.asarray(sk.try_decrypt(sq).try_decode(Encoding.simd()))
+        np.testing.assert_array_equal(got, want_sq)
 
 
 def test_multiplicator_default_and_mod_switch():
@@ -165,6 +171,59 @@ def test_multiplicator_default_and_mod_switch():
     got = np.asarray(sk.try_decrypt(prod).try_decode(Encoding.simd(1)))
     want = ((va.astype(object) * vb.astype(object)) % t).astype(np.uint64)
     np.testing.assert_array_equal(got, want)
+
+
+def test_multiplicator_second_strategy():
+    """The second multiplication strategy of eprint 2021/204
+    (ops/mul.rs:353-402): rhs scaled up by r/q into the extended basis,
+    post-scale by t/r."""
+    from tpufhe.ops.rns import RnsContext, ScalingFactor
+    from tpufhe.utils.primes import generate_prime
+
+    par = params(3, 16)
+    t = par.plaintext.value
+    r = rng()
+    ctx0 = par.context_at_level(0)
+
+    extended_basis = list(par.moduli)
+    for _ in range(3):
+        prev = extended_basis[-1]
+        extended_basis.append(generate_prime(62, 2 * par.degree(), prev))
+    rns = RnsContext(extended_basis[3:])
+
+    sk = SecretKey.random(par, r)
+    pa, va = random_pt(par, Encoding.simd())
+    ca = sk.try_encrypt(pa, r)
+    cb = sk.try_encrypt(pa, r)
+    want = ((va.astype(object) * va.astype(object)) % t).astype(np.uint64)
+
+    m = Multiplicator(
+        ScalingFactor.one(),
+        ScalingFactor(rns.product, ctx0.modulus()),
+        extended_basis,
+        ScalingFactor(t, rns.product),
+        par,
+    )
+    prod = m.multiply(ca, cb)
+    got = np.asarray(sk.try_decrypt(prod).try_decode(Encoding.simd()))
+    np.testing.assert_array_equal(got, want)
+
+    m.enable_mod_switching()
+    prod = m.multiply(ca, cb)
+    assert prod.level == 1
+    got = np.asarray(sk.try_decrypt(prod).try_decode(Encoding.simd(1)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_secret_key_zeroize():
+    """Zeroize scrubs the host key material in place (secret_key.rs:29-40)."""
+    par = params(2, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    buf = sk.coeffs
+    assert np.any(buf != 0)
+    sk.zeroize()
+    assert not np.any(buf != 0)
 
 
 def test_switch_down_ciphertext():

@@ -23,6 +23,7 @@ from tpufhe.bfv.ops import (
     ct_add_pt,
     ct_mul,
     ct_mul_pt,
+    ct_square,
     ct_neg,
     ct_sub,
     ct_sub_pt,
@@ -54,5 +55,6 @@ __all__ = [
     "ct_sub_pt",
     "ct_mul",
     "ct_mul_pt",
+    "ct_square",
     "dot_product_scalar",
 ]

@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 
 from tpufhe.bfv.parameters import BfvParameters
 from tpufhe.ops.rq import NTT, Poly
+from tpufhe.errors import InvalidCiphertext, InvalidLevel, TooFewValues
 
 
 @dataclass
@@ -23,12 +24,12 @@ class Ciphertext:
     @staticmethod
     def new(c: list, par: BfvParameters) -> "Ciphertext":
         if len(c) < 2:
-            raise ValueError("ciphertext must have at least 2 polynomials")
+            raise TooFewValues(len(c), 2)
         ctx = c[0].ctx
         level = par.level_of_context(ctx)
         for ci in c:
             if ci.ctx is not ctx:
-                raise ValueError("inconsistent contexts")
+                raise InvalidCiphertext("inconsistent contexts")
         return Ciphertext(par, list(c), level)
 
     @staticmethod
@@ -62,9 +63,24 @@ class Ciphertext:
 
     def switch_to_level(self, target: int):
         if target < self.level or target > self.max_switchable_level():
-            raise ValueError("invalid level")
+            raise InvalidLevel(target, self.level, self.max_switchable_level())
         while self.level < target:
             self.switch_down()
 
     def clone(self) -> "Ciphertext":
         return Ciphertext(self.par, list(self.c), self.level, self.seed)
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_ciphertext
+
+        return serialize_ciphertext(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "Ciphertext":
+        from tpufhe.serialize.codecs import deserialize_ciphertext
+
+        return deserialize_ciphertext(data, par)
+
+

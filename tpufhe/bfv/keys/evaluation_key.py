@@ -12,6 +12,13 @@ from tpufhe.bfv.ciphertext import Ciphertext
 from tpufhe.bfv.keys.galois_key import GaloisKey
 from tpufhe.ops.rq import NTT_SHOUP, Poly
 from tpufhe.ops.zq import Modulus
+from tpufhe.errors import (
+    InvalidCiphertext,
+    InvalidLevel,
+    InvalidRotationStep,
+    ParametersError,
+    UnsupportedOperation,
+)
 
 
 class EvaluationKey:
@@ -55,7 +62,7 @@ class EvaluationKey:
 
     def computes_inner_sum(self, ct: Ciphertext) -> Ciphertext:
         if not self.supports_inner_sum():
-            raise ValueError("This key does not support the inner sum")
+            raise UnsupportedOperation("This key does not support the inner sum")
         out = ct.clone()
         i = 1
         while i < ct.par.degree() // 2:
@@ -69,12 +76,12 @@ class EvaluationKey:
 
     def rotates_rows(self, ct: Ciphertext) -> Ciphertext:
         if not self.supports_row_rotation():
-            raise ValueError("This key does not support row rotation")
+            raise UnsupportedOperation("This key does not support row rotation")
         return self.gk[self.par.degree() * 2 - 1].relinearize(ct)
 
     def rotates_columns_by(self, ct: Ciphertext, i: int) -> Ciphertext:
         if not self.supports_column_rotation_by(i):
-            raise ValueError("This key does not support this column rotation")
+            raise InvalidRotationStep("this key does not support this column rotation")
         return self.gk[self.rot_to_gk_exponent[i]].relinearize(ct)
 
     def expands(self, ct: Ciphertext, size: int) -> list:
@@ -82,11 +89,11 @@ class EvaluationKey:
         (evaluation_key.rs:153-193)."""
         level = (size - 1).bit_length() if size > 1 else 0
         if len(ct) != 2:
-            raise ValueError("The ciphertext is not of size 2")
+            raise InvalidCiphertext("The ciphertext is not of size 2")
         if level == 0:
             return [ct.clone()]
         if not self.supports_expansion(level):
-            raise ValueError("This key does not support expansion at this level")
+            raise UnsupportedOperation("This key does not support expansion at this level")
         out = [Ciphertext.zero(ct.par) for _ in range(1 << level)]
         out[0] = ct.clone()
         for l in range(level):
@@ -111,6 +118,19 @@ class EvaluationKey:
         q = Modulus(2 * par.degree())
         return {i: q.pow(3, i) for i in range(1, par.degree() // 2)}
 
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_evaluation_key
+
+        return serialize_evaluation_key(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "EvaluationKey":
+        from tpufhe.serialize.codecs import deserialize_evaluation_key
+
+        return deserialize_evaluation_key(data, par)
+
 
 def _ct_add(a: Ciphertext, b: Ciphertext) -> Ciphertext:
     from tpufhe.bfv.ops import ct_add
@@ -131,7 +151,7 @@ class EvaluationKeyBuilder:
                  evaluation_key_level: int = 0):
         if (ciphertext_level < evaluation_key_level
                 or ciphertext_level > sk.par.max_level()):
-            raise ValueError("Unexpected levels")
+            raise InvalidLevel(ciphertext_level)
         self.sk = sk
         self.ciphertext_level = ciphertext_level
         self.evaluation_key_level = evaluation_key_level
@@ -145,7 +165,7 @@ class EvaluationKeyBuilder:
 
     def enable_expansion(self, level: int) -> "EvaluationKeyBuilder":
         if level >= 64 - (self.sk.par.degree().bit_length() - 1):
-            raise ValueError("Invalid expansion level")
+            raise ParametersError("Invalid expansion level")
         self.expansion_level = level
         return self
 
@@ -160,7 +180,7 @@ class EvaluationKeyBuilder:
     def enable_column_rotation(self, i: int) -> "EvaluationKeyBuilder":
         exp = self.rot_to_gk_exponent.get(i)
         if exp is None:
-            raise ValueError("Invalid column index")
+            raise InvalidRotationStep("invalid column index")
         self.column_rotation.add(exp)
         return self
 

@@ -37,3 +37,18 @@ class GaloisKey:
             c1 = c1.into_power_basis().switch_down_to(ct[1].ctx).into_ntt()
         c0 = c0 + ct[0].substitute(self.element)
         return Ciphertext(ct.par, [c0, c1], self.ksk.ciphertext_level)
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_galois_key
+
+        return serialize_galois_key(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "GaloisKey":
+        from tpufhe.serialize.codecs import deserialize_galois_key
+
+        return deserialize_galois_key(data, par)
+
+

@@ -30,6 +30,7 @@ from tpufhe.ops.rq import (
 )
 from tpufhe.utils.rngs import ChaCha8Rng, expand_seed
 from tpufhe.utils.sampling import sample_vec_cbd
+from tpufhe.errors import InvalidContext, TooFewValues
 
 
 def _unstack(p: Poly, size: int) -> list:
@@ -61,7 +62,7 @@ class KeySwitchingKey:
         ctx_ksk = par.context_at_level(ksk_level)
         ctx_ciphertext = par.context_at_level(ciphertext_level)
         if from_poly.ctx is not ctx_ksk:
-            raise ValueError("Incorrect context for polynomial from")
+            raise InvalidContext("Incorrect context for polynomial from")
         seed = rng.fill_bytes(32)
 
         if ctx_ksk.k == 1:
@@ -153,7 +154,7 @@ class KeySwitchingKey:
     @staticmethod
     def _generate_c0(sk, from_poly: Poly, c1: list, rng) -> list:
         if not c1:
-            raise ValueError("Empty number of c1's")
+            raise TooFewValues(0, 1)
         rns = RnsContext(list(sk.par.moduli[: len(c1)]))
         return KeySwitchingKey._generate_c0_scaled(
             sk, from_poly, c1, rng,
@@ -164,7 +165,7 @@ class KeySwitchingKey:
     def _generate_c0_decomposition(sk, from_poly: Poly, c1: list, rng,
                                    log_base: int) -> list:
         if not c1:
-            raise ValueError("Empty number of c1's")
+            raise TooFewValues(0, 1)
         return KeySwitchingKey._generate_c0_scaled(
             sk, from_poly, c1, rng,
             [1 << (i * log_base) for i in range(len(c1))],
@@ -175,7 +176,7 @@ class KeySwitchingKey:
         if self.log_base != 0:
             return self._key_switch_decomposition(p)
         if p.ctx is not self.ctx_ciphertext:
-            raise ValueError("The input polynomial does not have the correct context")
+            raise InvalidContext("The input polynomial does not have the correct context")
         assert p.representation == POWER_BASIS
         lift = _lazy_const_ntt_fn(self.ctx_ksk)
         c0 = Poly.zero(self.ctx_ksk, NTT)
@@ -189,7 +190,7 @@ class KeySwitchingKey:
 
     def _key_switch_decomposition(self, p: Poly) -> tuple:
         if p.ctx is not self.ctx_ciphertext:
-            raise ValueError("The input polynomial does not have the correct context")
+            raise InvalidContext("The input polynomial does not have the correct context")
         log_modulus = _next_pow2_ilog2(p.ctx.moduli[0])
         ndigits = -((-log_modulus) // self.log_base)
         coeffs = p.to_u64_matrix()[..., 0, :]  # single limb
@@ -205,6 +206,19 @@ class KeySwitchingKey:
             c0 = c0 + (c2i * self.c0[i])
             c1 = c1 + (c2i * self.c1[i])
         return c0, c1
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_ksk
+
+        return serialize_ksk(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "KeySwitchingKey":
+        from tpufhe.serialize.codecs import deserialize_ksk
+
+        return deserialize_ksk(data, par)
 
 
 def _next_pow2_ilog2(x: int) -> int:

@@ -54,3 +54,18 @@ class PublicKey:
             [Poly(ctx, NTT, c0), Poly(ctx, NTT, c1)],
             ct.level,
         )
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_public_key
+
+        return serialize_public_key(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "PublicKey":
+        from tpufhe.serialize.codecs import deserialize_public_key
+
+        return deserialize_public_key(data, par)
+
+

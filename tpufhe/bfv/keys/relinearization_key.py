@@ -6,6 +6,7 @@ from __future__ import annotations
 from tpufhe.bfv.ciphertext import Ciphertext
 from tpufhe.bfv.keys.key_switching_key import KeySwitchingKey
 from tpufhe.ops.rq import Poly, Switcher
+from tpufhe.errors import InvalidCiphertext, InvalidLevel, UnsupportedOperation
 
 
 class RelinearizationKey:
@@ -18,7 +19,7 @@ class RelinearizationKey:
         ctx_relin = sk.par.context_at_level(key_level)
         ctx_ct = sk.par.context_at_level(ciphertext_level)
         if ctx_relin.k == 1:
-            raise ValueError("These parameters do not support key switching")
+            raise UnsupportedOperation("These parameters do not support key switching")
         s = Poly.from_i64_coeffs(sk.coeffs, ctx_ct).into_ntt()
         s2 = (s * s).into_power_basis()
         switcher_up = Switcher(ctx_ct, ctx_relin)
@@ -30,9 +31,9 @@ class RelinearizationKey:
         """In place: (c0, c1, c2) -> (c0 + ks0, c1 + ks1)
         (relinearization_key.rs:71-98)."""
         if len(ct) != 3:
-            raise ValueError("Only size-3 ciphertexts can be relinearized")
+            raise InvalidCiphertext("Only size-3 ciphertexts can be relinearized")
         if ct.level != self.ksk.ciphertext_level:
-            raise ValueError("Ciphertext has incorrect level")
+            raise InvalidLevel(ct.level)
         c2 = ct[2].into_power_basis()
         c0, c1 = self.relinearizes_poly(c2)
         if c0.ctx is not ct[0].ctx:
@@ -44,3 +45,18 @@ class RelinearizationKey:
 
     def relinearizes_poly(self, c2: Poly):
         return self.ksk.key_switch(c2)
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_relinearization_key
+
+        return serialize_relinearization_key(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "RelinearizationKey":
+        from tpufhe.serialize.codecs import deserialize_relinearization_key
+
+        return deserialize_relinearization_key(data, par)
+
+

@@ -18,16 +18,43 @@ from tpufhe.bfv.parameters import BfvParameters
 from tpufhe.bfv.plaintext import Plaintext
 from tpufhe.ops.rq import NTT, Poly
 from tpufhe.utils.sampling import sample_vec_cbd
+from tpufhe.errors import ContextMismatch
 
 
 class SecretKey:
+    """Secret-material hygiene (mirrors Zeroize-on-drop,
+    secret_key.rs:29-40): coefficients live in one owned numpy buffer;
+    `zeroize()` overwrites it in place and is invoked on garbage
+    collection. CAVEAT (documented, secret_key.rs has no analogue of
+    this): the fused encrypt/decrypt pipelines bind `s` into compiled
+    XLA executables as device constants; those device buffers belong to
+    the runtime and cannot be scrubbed from Python — zeroization covers
+    the host copy only. Call `zeroize()` explicitly when a key is
+    retired."""
+
     def __init__(self, coeffs: np.ndarray, par: BfvParameters):
         self.par = par
-        self.coeffs = np.asarray(coeffs, dtype=np.int64)
+        # own a writable buffer so zeroize() can scrub it in place
+        self.coeffs = np.array(coeffs, dtype=np.int64, copy=True)
 
     @staticmethod
     def random(par: BfvParameters, rng) -> "SecretKey":
         return SecretKey(sample_vec_cbd(par.degree(), par.variance, rng), par)
+
+    def zeroize(self):
+        """Overwrite the host copy of the key material (rq/mod.rs:135-142,
+        secret_key.rs:29-40) and drop cached compiled closures."""
+        if getattr(self, "coeffs", None) is not None and self.coeffs.flags.writeable:
+            self.coeffs.fill(0)
+        for attr in ("_enc_fns", "_dec_fns"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
+    def __del__(self):
+        try:
+            self.zeroize()
+        except Exception:
+            pass
 
     def _s_poly(self, ctx) -> Poly:
         return Poly.from_i64_coeffs(self.coeffs, ctx).into_ntt()
@@ -75,7 +102,7 @@ class SecretKey:
 
     def try_decrypt(self, ct: Ciphertext) -> Plaintext:
         if ct.par != self.par:
-            raise ValueError("Incompatible BFV parameters")
+            raise ContextMismatch("Incompatible BFV parameters")
         ctx = ct[0].ctx
         ctx_lvl = self.par.context_level_at(ct.level)
         if len(ct) == 2:
@@ -134,3 +161,18 @@ class SecretKey:
         for coeff in c.lift_bigints():
             noise = max(noise, min(coeff.bit_length(), (q - coeff).bit_length()))
         return noise
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_secret_key
+
+        return serialize_secret_key(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "SecretKey":
+        from tpufhe.serialize.codecs import deserialize_secret_key
+
+        return deserialize_secret_key(data, par)
+
+

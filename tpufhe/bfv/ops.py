@@ -16,6 +16,14 @@ from tpufhe.ops import rq
 from tpufhe.ops.rns import ScalingFactor
 from tpufhe.ops.rq import Context, Poly, Scaler
 from tpufhe.utils.primes import generate_prime
+from tpufhe.errors import (
+    ContextMismatch,
+    DimensionMismatch,
+    InvalidCiphertext,
+    InvalidLevel,
+    NoMoreContext,
+    TooFewValues,
+)
 
 
 def ct_add(a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -66,6 +74,23 @@ def ct_mul_pt(a: Ciphertext, pt: Plaintext) -> Ciphertext:
     return Ciphertext(a.par, [ci * pt.poly_ntt for ci in a.c], a.level)
 
 
+def _ct_value_equal(a: Ciphertext, b: Ciphertext) -> bool:
+    """Value equality, mirroring the reference's `ct0 == ct1` square
+    detection (ops/mod.rs:259-341). Identity short-circuits; otherwise a
+    host-side compare of the coefficient arrays (eager API only — the fused
+    pipelines never call this)."""
+    if a is b:
+        return True
+    if len(a) != len(b) or a.level != b.level:
+        return False
+    import numpy as np
+
+    return all(
+        x is y or np.array_equal(np.asarray(x.coeffs), np.asarray(y.coeffs))
+        for x, y in zip(a.c, b.c)
+    )
+
+
 def ct_mul(a: Ciphertext, b: Ciphertext) -> Ciphertext:
     """Full HPS multiplication: extend -> tensor -> down-scale
     (ops/mod.rs:259-341)."""
@@ -76,16 +101,32 @@ def ct_mul(a: Ciphertext, b: Ciphertext) -> Ciphertext:
     mp = ctx_lvl.mul_params()
 
     a_ext = [mp.extender.scale(ci) for ci in a.c]
-    b_ext = a_ext if b is a else [mp.extender.scale(ci) for ci in b.c]
+    b_ext = a_ext if _ct_value_equal(a, b) else [
+        mp.extender.scale(ci) for ci in b.c
+    ]
 
     nc = len(a_ext) + len(b_ext) - 1
     c = [None] * nc
-    for i in range(len(a_ext)):
-        for j in range(len(b_ext)):
-            prod = a_ext[i] * b_ext[j]
-            c[i + j] = prod if c[i + j] is None else c[i + j] + prod
+    if b_ext is a_ext:
+        # square: exploit symmetry, c[i+j] gains a_i*a_j twice for i != j
+        for i in range(len(a_ext)):
+            for j in range(i, len(a_ext)):
+                prod = a_ext[i] * a_ext[j]
+                if i != j:
+                    prod = prod + prod
+                c[i + j] = prod if c[i + j] is None else c[i + j] + prod
+    else:
+        for i in range(len(a_ext)):
+            for j in range(len(b_ext)):
+                prod = a_ext[i] * b_ext[j]
+                c[i + j] = prod if c[i + j] is None else c[i + j] + prod
     c = [mp.down_scaler.scale(ci) for ci in c]
     return Ciphertext(a.par, c, a.level)
+
+
+def ct_square(a: Ciphertext) -> Ciphertext:
+    """Squaring fast path (ops/mod.rs:259-341 square branch)."""
+    return ct_mul(a, a)
 
 
 class Multiplicator:
@@ -134,21 +175,21 @@ class Multiplicator:
     def enable_relinearization(self, rk):
         rk_ctx = self.par.context_at_level(rk.ksk.ciphertext_level)
         if rk_ctx is not self.base_ctx:
-            raise ValueError("Invalid relinearization key context")
+            raise ContextMismatch("Invalid relinearization key context")
         self.rk = rk
 
     def enable_mod_switching(self):
         if self.par.context_at_level(self.par.max_level()) is self.base_ctx:
-            raise ValueError("Already at the last level")
+            raise NoMoreContext()
         self.mod_switch = True
 
     def multiply(self, lhs: Ciphertext, rhs: Ciphertext) -> Ciphertext:
         if lhs.par != self.par or rhs.par != self.par:
-            raise ValueError("Ciphertexts do not have the same parameters")
+            raise ContextMismatch("Ciphertexts do not have the same parameters")
         if lhs.level != self.level or rhs.level != self.level:
-            raise ValueError("Ciphertexts are not at expected level")
+            raise InvalidLevel(lhs.level, self.level, self.level)
         if len(lhs) != 2 or len(rhs) != 2:
-            raise ValueError("Multiplication requires size-2 ciphertexts")
+            raise InvalidCiphertext("Multiplication requires size-2 ciphertexts")
 
         c00 = self.extender_lhs.scale(lhs[0])
         c01 = self.extender_lhs.scale(lhs[1])
@@ -173,12 +214,12 @@ def dot_product_scalar(cts: list, pts: list) -> Ciphertext:
     """sum_i ct_i * pt_i with lazy accumulation (ops/dot_product.rs:56-152)."""
     count = min(len(cts), len(pts))
     if count == 0:
-        raise ValueError("At least one iterator is empty")
+        raise TooFewValues(0, 1)
     first = cts[0]
     nparts = len(first)
     for ct in cts:
         if len(ct) != nparts or ct.par != first.par:
-            raise ValueError("Mismatched ciphertexts")
+            raise DimensionMismatch("dot_product_scalar requires uniform ciphertexts")
     c = [
         rq.dot_product(
             [ct[i] for ct in cts[:count]],

@@ -26,6 +26,7 @@ from tpufhe.ops.rns import RnsContext, ScalingFactor
 from tpufhe.ops.rq import NTT_SHOUP, Context, Poly, Scaler
 from tpufhe.ops.zq import Modulus
 from tpufhe.utils.primes import generate_prime
+from tpufhe.errors import InvalidLevel, ParametersError
 
 
 class PlaintextModulus:
@@ -115,7 +116,7 @@ class BfvParameters:
 
     def context_level_at(self, level: int) -> ContextLevel:
         if not (0 <= level <= self.max_level()):
-            raise ValueError(f"invalid level {level}")
+            raise InvalidLevel(level, 0, self.max_level())
         return self.context_chain[level]
 
     def level_of_context(self, ctx: Context) -> int:
@@ -179,7 +180,7 @@ class BfvParameters:
             except Exception:
                 continue
         if not out:
-            raise ValueError(
+            raise ParametersError(
                 "No default parameters available for this plaintext size"
             )
         return out
@@ -194,6 +195,18 @@ class BfvParameters:
             .set_moduli_sizes([62] * num_moduli)
             .build()
         )
+
+    # Serialize / Deserialize trait surface (fhe-traits/src/lib.rs:128-146)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_parameters
+
+        return serialize_parameters(self)
+
+    @staticmethod
+    def try_deserialize(data: bytes) -> "BfvParameters":
+        from tpufhe.serialize.codecs import deserialize_parameters
+
+        return deserialize_parameters(data)
 
 
 class BfvParametersBuilder:
@@ -233,12 +246,12 @@ class BfvParametersBuilder:
         moduli = []
         for i, size in enumerate(sizes):
             if size > 62 or size < 10:
-                raise ValueError(f"modulus size at index {i} must be in 10..=62")
+                raise ParametersError(f"modulus size at index {i} must be in 10..=62")
             upper_bound = 1 << size
             while True:
                 prime = generate_prime(size, 2 * degree, upper_bound)
                 if prime is None:
-                    raise ValueError(
+                    raise ParametersError(
                         f"not enough primes of size {size} for degree {degree}"
                     )
                 if prime not in moduli:
@@ -250,19 +263,19 @@ class BfvParametersBuilder:
     def build(self) -> BfvParameters:
         degree = self._degree
         if degree < 8 or (degree & (degree - 1)) != 0:
-            raise ValueError("invalid degree")
+            raise ParametersError("invalid degree")
         if not (1 <= self._variance <= 16):
-            raise ValueError("invalid variance")
+            raise ParametersError("invalid variance")
 
         plaintext = PlaintextModulus(self._plaintext)
         t = plaintext.value
 
         if self._moduli and self._moduli_sizes:
-            raise ValueError(
+            raise ParametersError(
                 "Only one of `moduli` and `moduli_sizes` can be specified"
             )
         if not self._moduli and not self._moduli_sizes:
-            raise ValueError("moduli or moduli_sizes must be specified")
+            raise ParametersError("moduli or moduli_sizes must be specified")
         moduli = (
             self.generate_moduli(self._moduli_sizes, degree)
             if self._moduli_sizes
@@ -305,7 +318,7 @@ class BfvParametersBuilder:
                 neg_t_mod_q = q.neg(t % m)
                 inv = q.inv(neg_t_mod_q)
                 if inv is None:
-                    raise ValueError("Inverse failed")
+                    raise ParametersError("Inverse failed")
                 delta_rests.append(inv)
             rns = cipher_ctx.rns
             delta_int = rns.lift(delta_rests)

@@ -15,6 +15,7 @@ import numpy as np
 from tpufhe.bfv.encoding import Encoding, POLY, SIMD
 from tpufhe.bfv.parameters import BfvParameters
 from tpufhe.ops.rq import NTT, POWER_BASIS, Poly, pack_u64
+from tpufhe.errors import EncodingMismatch, SimdNotSupported, TooManyValues
 
 
 @dataclass
@@ -81,7 +82,7 @@ class Plaintext:
     def try_encode(values, encoding: Encoding, par: BfvParameters) -> "Plaintext":
         values = list(values)
         if len(values) > par.degree():
-            raise ValueError("too many values")
+            raise TooManyValues(len(values), par.degree())
         return PlaintextVec.try_encode(values, encoding, par)[0]
 
     @staticmethod
@@ -94,10 +95,10 @@ class Plaintext:
 
     def try_decode(self, encoding: Encoding | None = None) -> np.ndarray | list:
         if self.encoding is None and encoding is None:
-            raise ValueError("No encoding specified")
+            raise EncodingMismatch("none", "an encoding")
         enc = self.encoding if self.encoding is not None else encoding
         if encoding is not None and enc != encoding:
-            raise ValueError("Encoding mismatch")
+            raise EncodingMismatch(enc, encoding)
 
         if isinstance(self.value, np.ndarray):
             w = self.value.copy()
@@ -107,7 +108,7 @@ class Plaintext:
             return w
         # SIMD: forward plaintext NTT then permutation
         if self.par.ntt_operator is None:
-            raise ValueError("SIMD encoding not supported (no plaintext NTT)")
+            raise SimdNotSupported("no plaintext NTT for these parameters")
         ntt_ctx = self.par.ntt_operator
         arr = np.asarray(w, dtype=np.uint64)[None, :]  # (1, N)
         p = Poly.from_u64_matrix(arr, ntt_ctx, POWER_BASIS).into_ntt()
@@ -133,7 +134,7 @@ class PlaintextVec(list):
         if not values:
             return PlaintextVec([Plaintext.zero(encoding, par)])
         if encoding.encoding == SIMD and par.ntt_operator is None:
-            raise ValueError("SIMD encoding not supported (no plaintext NTT)")
+            raise SimdNotSupported("no plaintext NTT for these parameters")
         n = par.degree()
         ctx = par.context_at_level(encoding.level)
         num = -((-len(values)) // n)
@@ -157,7 +158,7 @@ class PlaintextVec(list):
                 value = v
             else:
                 if encoding.encoding == SIMD:
-                    raise ValueError("SIMD not supported for large plaintext")
+                    raise SimdNotSupported("large plaintext modulus")
                 value = [0] * n
                 value[: len(chunk)] = chunk
                 poly = Poly.from_bigint_coeffs(value, ctx).into_ntt()

@@ -40,3 +40,18 @@ class RGSWCiphertext:
         c0, c1 = self.ksk0.key_switch(ct0)
         c0p, c1p = self.ksk1.key_switch(ct1)
         return Ciphertext(ct.par, [c0 + c0p, c1 + c1p], ct.level)
+
+    # Serialize / DeserializeParametrized trait surface
+    # (fhe-traits/src/lib.rs:128-154)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_rgsw
+
+        return serialize_rgsw(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, par) -> "RGSWCiphertext":
+        from tpufhe.serialize.codecs import deserialize_rgsw
+
+        return deserialize_rgsw(data, par)
+
+

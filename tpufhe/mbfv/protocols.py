@@ -21,13 +21,21 @@ from tpufhe.bfv.parameters import BfvParameters
 from tpufhe.bfv.plaintext import Plaintext
 from tpufhe.ops.rns import RnsContext
 from tpufhe.ops.rq import NTT, Poly
+from tpufhe.errors import (
+    ContextMismatch,
+    DimensionMismatch,
+    InvalidCiphertext,
+    TooFewValues,
+    UnexpectedError,
+    UnsupportedOperation,
+)
 
 
 def aggregate(shares: list):
     """Sum shares into the aggregate object (mbfv/aggregate.rs)."""
     shares = list(shares)
     if not shares:
-        raise ValueError("Too few shares (0)")
+        raise TooFewValues(0, 1)
     return shares[0]._aggregate(shares)
 
 
@@ -86,9 +94,9 @@ class SecretKeySwitchShare:
     def new(sk_input_share, sk_output_share, ct: Ciphertext, rng
             ) -> "SecretKeySwitchShare":
         if sk_input_share.par != sk_output_share.par or sk_output_share.par != ct.par:
-            raise ValueError("Incompatible BFV parameters")
+            raise ContextMismatch("Incompatible BFV parameters")
         if len(ct) != 2:
-            raise ValueError("M-BFV only supports ciphertexts of length 2")
+            raise InvalidCiphertext("M-BFV only supports ciphertexts of length 2")
         par = sk_input_share.par
         ctx = ct[0].ctx
         s_in = Poly.from_i64_coeffs(sk_input_share.coeffs, ctx).into_ntt()
@@ -157,7 +165,7 @@ class PublicKeySwitchShare:
     @staticmethod
     def new(sk_share, public_key, ct: Ciphertext, rng) -> "PublicKeySwitchShare":
         if sk_share.par != public_key.par or public_key.par != ct.par:
-            raise ValueError("Incompatible BFV parameters")
+            raise ContextMismatch("Incompatible BFV parameters")
         par = sk_share.par
         pk_ct = public_key.c
         if pk_ct.level != ct.level:
@@ -206,7 +214,7 @@ class RelinKeyShare:
         ctx = par.context_at_level(0)
         r1 = shares[0].last_round
         if r1 is None:
-            raise ValueError("Round-2 shares must carry the round-1 aggregation")
+            raise UnexpectedError("Round-2 shares must carry the round-1 aggregation")
         h0 = list(shares[0].h0)
         h1 = list(shares[0].h1)
         for sh in shares[1:]:
@@ -227,9 +235,9 @@ class RelinKeyGenerator:
         par = sk_share.par
         ctx = par.context_at_level(0)
         if ctx.k == 1:
-            raise ValueError("These parameters do not support key switching")
+            raise UnsupportedOperation("These parameters do not support key switching")
         if len(crp) != ctx.k:
-            raise ValueError("CRP vector size must equal the number of moduli")
+            raise DimensionMismatch("CRP vector size must equal the number of moduli")
         self.sk_share = sk_share
         self.crp = crp
         ("u is sampled once and reused across rounds")

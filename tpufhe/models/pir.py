@@ -67,24 +67,34 @@ def _client_query(par, sk, rng, index, dim1, dim2, elements_size):
 
 
 def run_mulpir(database_size=64, elements_size=16, degree=64,
-               plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=17):
+               plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=17,
+               report: dict | None = None):
     """End-to-end MulPIR; returns (retrieved_element, expected_element).
 
     Defaults are test-sized; the paper configuration is degree=8192,
-    t = 2^20+2^19+2^17+2^16+2^14+1, moduli_sizes=(50,55,55), 1 KiB x 65536.
+    t = 2^20+2^19+2^17+2^16+2^14+1, moduli_sizes=(50,55,55), 1 KiB x 65536
+    (examples/mulpir.rs:163-208). Pass `report={}` to collect phase wall
+    times and wire sizes (the reference prints these via timeit!/HumanBytes).
     """
+    import time as _time
+
     if plaintext_modulus is None:
         from tpufhe.utils.primes import generate_prime
 
         plaintext_modulus = generate_prime(16, 2 * degree, 1 << 16)
+    _t0 = _time.perf_counter()
     par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
         degree, plaintext_modulus, moduli_sizes, database_size, elements_size,
         seed,
     )
     t = par.plaintext.value
     plaintext_nbits = t.bit_length() - 1
+    if report is not None:
+        report["setup_s"] = _time.perf_counter() - _t0
+        report["dims"] = (dim1, dim2)
 
     # client setup
+    _t0 = _time.perf_counter()
     sk = SecretKey.random(par, rng)
     level = max((dim1 + dim2 - 1).bit_length(), 1)
     ek_expansion = (
@@ -93,13 +103,25 @@ def run_mulpir(database_size=64, elements_size=16, degree=64,
         .build(rng)
     )
     rk = RelinearizationKey.new(sk, rng, ciphertext_level=1, key_level=1)
+    if report is not None:
+        report["keygen_s"] = _time.perf_counter() - _t0
+        report["ek_bytes"] = len(ek_expansion.to_bytes())
+        report["rk_bytes"] = len(rk.to_bytes())
 
     # client query
     index = int(np.random.default_rng(seed).integers(0, database_size))
+    _t0 = _time.perf_counter()
     query, level = _client_query(par, sk, rng, index, dim1, dim2, elements_size)
+    if report is not None:
+        report["query_s"] = _time.perf_counter() - _t0
+        report["query_bytes"] = len(query.to_bytes())
 
     # server response
+    _t0 = _time.perf_counter()
     expanded = ek_expansion.expands(query, dim1 + dim2)
+    if report is not None:
+        report["expand_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
     query_vec = expanded[:dim1]
     out = Ciphertext.zero(par)
     for i, ci in enumerate(expanded[dim1:]):
@@ -109,9 +131,15 @@ def run_mulpir(database_size=64, elements_size=16, degree=64,
         out = prod if not out.c else ct_add(out, prod)
     rk.relinearizes(out)
     out.switch_to_level(out.max_switchable_level())
+    if report is not None:
+        report["response_s"] = _time.perf_counter() - _t0
+        report["response_bytes"] = len(out.to_bytes())
+        _t0 = _time.perf_counter()
 
     # client answer
     pt = sk.try_decrypt(out)
+    if report is not None:
+        report["answer_s"] = _time.perf_counter() - _t0
     values = np.asarray(pt.try_decode(Encoding.poly(out.level)))
     plaintext_bytes = transcode_to_bytes(values, plaintext_nbits)
     offset = index % number_elements_per_plaintext(

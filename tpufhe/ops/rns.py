@@ -29,6 +29,7 @@ from tpufhe.ops import u64, zq
 from tpufhe.ops.u64 import U32
 from tpufhe.ops.zq import Modulus
 from tpufhe.utils.misc import inverse
+from tpufhe.errors import InvalidContext, TooFewValues
 
 _M64 = (1 << 64) - 1
 _M128 = (1 << 128) - 1
@@ -64,11 +65,11 @@ class RnsContext:
     def __init__(self, moduli: list[int]):
         moduli = [int(m) for m in moduli]
         if not moduli:
-            raise ValueError("The list of moduli is empty")
+            raise TooFewValues(0, 1)
         for i, mi in enumerate(moduli):
             for j, mj in enumerate(moduli):
                 if i != j and gcd(mi, mj) != 1:
-                    raise ValueError("The moduli are not coprime")
+                    raise InvalidContext("The moduli are not coprime")
         self.moduli_u64 = moduli
         self.moduli = [Modulus(m) for m in moduli]
         self.product = 1

@@ -36,6 +36,7 @@ from tpufhe.ops.u64 import U32
 from tpufhe.ops.zq import Modulus
 from tpufhe.utils.rngs import expand_seed
 from tpufhe.utils.sampling import sample_vec_cbd
+from tpufhe.errors import InvalidContext, InvalidGaloisElement, NoMoreContext
 
 POWER_BASIS = "power"
 NTT = "ntt"
@@ -117,9 +118,10 @@ class Context:
 
     def _init(self, moduli, degree, narrow):
         if degree < 8 or (degree & (degree - 1)) != 0:
-            raise ValueError("The degree is not a power of two larger or equal to 8")
+            raise InvalidContext(
+                "The degree is not a power of two larger or equal to 8")
         if narrow and any(m >= (1 << 30) for m in moduli):
-            raise ValueError("narrow contexts need all moduli < 2^30")
+            raise InvalidContext("narrow contexts need all moduli < 2^30")
         self.narrow = narrow
         self.moduli = moduli
         self.degree = degree
@@ -129,7 +131,7 @@ class Context:
         for qi in self.q:
             op = ntt_mod.NttOperator.new(qi, degree)
             if op is None:
-                raise ValueError("Impossible to construct a Ntt operator")
+                raise InvalidContext("Impossible to construct a Ntt operator")
             self.ops.append(op)
         self.bitrev = ntt_mod.bitrev_indices(degree)
         q_last = moduli[-1]
@@ -156,14 +158,14 @@ class Context:
             cur = cur.next_context
             if cur is other:
                 return n
-        raise ValueError("Invalid context (not in chain)")
+        raise InvalidContext("Invalid context (not in chain)")
 
     def context_at_level(self, i: int) -> "Context":
         cur = self
         for _ in range(i):
             cur = cur.next_context
             if cur is None:
-                raise ValueError("No context at the specified level")
+                raise NoMoreContext()
         return cur
 
     def modulus(self) -> int:
@@ -838,6 +840,20 @@ class Poly:
         coeffs, coeffs_shoup = children
         return cls(ctx, representation, coeffs, coeffs_shoup, lazy)
 
+    # Serialize / DeserializeWithContext trait surface
+    # (fhe-traits/src/lib.rs:128-171, rq/serialize.rs:10-27)
+    def to_bytes(self) -> bytes:
+        from tpufhe.serialize.codecs import serialize_poly
+
+        return serialize_poly(self)
+
+    @classmethod
+    def from_bytes(cls, data: bytes, ctx: Context,
+                   expected_representation: str | None = None) -> "Poly":
+        from tpufhe.serialize.codecs import deserialize_poly
+
+        return deserialize_poly(data, ctx, expected_representation)
+
     # -- constructors --
 
     @staticmethod
@@ -1040,7 +1056,7 @@ class Poly:
         """Divide+round by the last modulus and drop it (rq/mod.rs:390-449)."""
         assert self.representation == POWER_BASIS
         if self.ctx.next_context is None:
-            raise ValueError("No more context")
+            raise NoMoreContext()
         out = _switch_down_fn(self.ctx)(self.coeffs)
         return Poly(self.ctx.next_context, POWER_BASIS, out)
 
@@ -1099,7 +1115,8 @@ class SubstitutionExponent:
         n = ctx.degree
         exponent = exponent % (2 * n)
         if exponent % 2 == 0:
-            raise ValueError("The exponent should be odd modulo 2 * degree")
+            raise InvalidGaloisElement(
+                exponent, "the exponent should be odd modulo 2 * degree")
         self.ctx = ctx
         self.exponent = exponent
 
@@ -1137,7 +1154,7 @@ class Scaler:
 
     def __init__(self, from_ctx: Context, to_ctx: Context, factor: ScalingFactor):
         if from_ctx.degree != to_ctx.degree:
-            raise ValueError("Incompatible degrees")
+            raise InvalidContext("Incompatible degrees")
         self.from_ctx = from_ctx
         self.to_ctx = to_ctx
         self.factor = factor

@@ -43,6 +43,7 @@ from tpufhe.ops.u64 import (
 from tpufhe.utils.primes import is_prime, supports_opt
 from tpufhe.utils.rngs import uniform_u64_below
 from tpufhe.utils.transcode import transcode_from_bytes, transcode_to_bytes
+from tpufhe.errors import InvalidModulus
 
 
 def _pair_const(x: int, like=None):
@@ -68,7 +69,7 @@ class Modulus:
     def __post_init__(self):
         p = int(self.p)
         if p < 2 or (p >> 62) != 0:
-            raise ValueError(f"invalid modulus: {p}")
+            raise InvalidModulus(p)
         barrett = (1 << 128) // p
         object.__setattr__(self, "p", p)
         object.__setattr__(self, "barrett_hi", barrett >> 64)

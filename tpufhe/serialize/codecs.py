@@ -24,6 +24,7 @@ from tpufhe.bfv.keys.secret_key import SecretKey
 from tpufhe.bfv.parameters import BfvParameters, BfvParametersBuilder
 from tpufhe.bfv.rgsw import RGSWCiphertext
 from tpufhe.ops.rq import NTT, NTT_SHOUP, POWER_BASIS, Context, Poly, SubstitutionExponent
+from tpufhe.errors import SerializationError
 from tpufhe.serialize.proto import (
     ProtoReader,
     emit_bytes_field,
@@ -71,22 +72,22 @@ def deserialize_poly(data: bytes, ctx: Context,
         elif field == 3:
             payload = v
     if representation not in _PROTO_TO_REPR:
-        raise ValueError("Invalid representation")
+        raise SerializationError("Invalid representation")
     rep = _PROTO_TO_REPR[representation]
     if degree % 8 != 0 or degree < 8 or degree != ctx.degree:
-        raise ValueError("Invalid degree")
+        raise SerializationError("Invalid degree")
     expected = sum(q.serialization_length(degree) for q in ctx.q)
     if len(payload) != expected:
-        raise ValueError("Invalid coefficients")
+        raise SerializationError("Invalid coefficients")
     if expected_representation is not None and rep != expected_representation:
-        raise ValueError("Representation mismatch")
+        raise SerializationError("Representation mismatch")
     rows = []
     idx = 0
     for q in ctx.q:
         ln = q.serialization_length(degree)
         row = q.deserialize_vec(payload[idx : idx + ln])[:degree]
         if any(int(x) >= q.p for x in row):
-            raise ValueError("Coefficient out of range")
+            raise SerializationError("Coefficient out of range")
         rows.append(row)
         idx += ln
     p = Poly.from_u64_matrix(np.stack(rows), ctx, POWER_BASIS)
@@ -127,15 +128,15 @@ def deserialize_ciphertext(data: bytes, par: BfvParameters) -> Ciphertext:
         elif field == 3:
             level = v
     if not c_bytes or (len(c_bytes) == 1 and not seed):
-        raise ValueError("Not enough polynomials")
+        raise SerializationError("Not enough polynomials")
     if level > par.max_level():
-        raise ValueError("Invalid level")
+        raise SerializationError("Invalid level")
     ctx = par.context_at_level(level)
     c = [deserialize_poly(cb, ctx, NTT) for cb in c_bytes]
     seed_out = None
     if seed:
         if len(seed) != 32:
-            raise ValueError("Invalid seed size")
+            raise SerializationError("Invalid seed size")
         seed_out = bytes(seed)
         c.append(Poly.random_from_seed(ctx, seed_out, NTT))
     return Ciphertext(par, c, level, seed=seed_out)
@@ -184,13 +185,13 @@ def deserialize_ksk(data: bytes, par: BfvParameters) -> KeySwitchingKey:
     seed_out = None
     if seed:
         if len(seed) != 32:
-            raise ValueError("Invalid seed size")
+            raise SerializationError("Invalid seed size")
         seed_out = bytes(seed)
         c1 = KeySwitchingKey._generate_c1(ctx_ksk, seed_out, len(c0))
     else:
         c1 = [deserialize_poly(b, ctx_ksk, NTT_SHOUP) for b in c1_bytes]
     if len(c0) != len(c1):
-        raise ValueError("Invalid c0/c1 sizes")
+        raise SerializationError("Invalid c0/c1 sizes")
     return KeySwitchingKey(
         par, seed_out, c0, c1, ciphertext_level, ctx_ct, ksk_level, ctx_ksk,
         log_base,
@@ -205,7 +206,7 @@ def deserialize_relinearization_key(data: bytes, par) -> RelinearizationKey:
     for field, wire, v in ProtoReader(data):
         if field == 1:
             return RelinearizationKey(deserialize_ksk(v, par))
-    raise ValueError("Invalid serialization")
+    raise SerializationError("Invalid serialization")
 
 
 def serialize_galois_key(gk: GaloisKey) -> bytes:
@@ -223,7 +224,7 @@ def deserialize_galois_key(data: bytes, par) -> GaloisKey:
         elif field == 2:
             exponent = v
     if ksk is None:
-        raise ValueError("Invalid serialization")
+        raise SerializationError("Invalid serialization")
     element = SubstitutionExponent(ksk.ctx_ciphertext, exponent)
     return GaloisKey(element, ksk)
 
@@ -250,9 +251,9 @@ def deserialize_evaluation_key(data: bytes, par) -> EvaluationKey:
     gk = {}
     for k in gks:
         if k.ksk.ciphertext_level != ciphertext_level:
-            raise ValueError("Galois key has incorrect ciphertext level")
+            raise SerializationError("Galois key has incorrect ciphertext level")
         if k.ksk.ksk_level != evaluation_key_level:
-            raise ValueError("Galois key has incorrect evaluation key level")
+            raise SerializationError("Galois key has incorrect evaluation key level")
         gk[k.element.exponent] = k
     ctx = par.context_at_level(ciphertext_level)
     monomials = []
@@ -275,9 +276,9 @@ def deserialize_public_key(data: bytes, par) -> PublicKey:
         if field == 1:
             c = deserialize_ciphertext(v, par)
             if c.level != 0:
-                raise ValueError("ciphertext level must be 0")
+                raise SerializationError("ciphertext level must be 0")
             return PublicKey(par, c)
-    raise ValueError("Missing field c")
+    raise SerializationError("Missing field c")
 
 
 def serialize_secret_key(sk: SecretKey) -> bytes:
@@ -293,7 +294,7 @@ def deserialize_secret_key(data: bytes, par) -> SecretKey:
             else:
                 coeffs.append(zigzag_decode(v))
     if len(coeffs) != par.degree():
-        raise ValueError("SecretKey length mismatch")
+        raise SerializationError("SecretKey length mismatch")
     return SecretKey(np.array(coeffs, dtype=np.int64), par)
 
 
@@ -311,11 +312,11 @@ def deserialize_rgsw(data: bytes, par) -> RGSWCiphertext:
         elif field == 2:
             ksk1 = deserialize_ksk(v, par)
     if ksk0 is None or ksk1 is None:
-        raise ValueError("Missing ksk")
+        raise SerializationError("Missing ksk")
     if (ksk0.ksk_level != ksk0.ciphertext_level
             or ksk0.ciphertext_level != ksk1.ciphertext_level
             or ksk1.ciphertext_level != ksk1.ksk_level):
-        raise ValueError("Inconsistent key switching levels")
+        raise SerializationError("Inconsistent key switching levels")
     return RGSWCiphertext(ksk0, ksk1)
 
 
@@ -359,7 +360,7 @@ def deserialize_parameters(data: bytes) -> BfvParameters:
         elif field == 4:
             variance = v
     if t is None:
-        raise ValueError("Missing plaintext modulus")
+        raise SerializationError("Missing plaintext modulus")
     return (
         BfvParametersBuilder()
         .set_degree(degree)

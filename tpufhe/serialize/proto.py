@@ -6,6 +6,7 @@ objects are wire-compatible. No protobuf runtime dependency.
 """
 
 from __future__ import annotations
+from tpufhe.errors import SerializationError
 
 
 def encode_varint(v: int) -> bytes:
@@ -32,7 +33,7 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
             return result, pos
         shift += 7
         if shift > 70:
-            raise ValueError("varint too long")
+            raise SerializationError("varint too long")
 
 
 def zigzag_encode(v: int) -> int:
@@ -93,7 +94,7 @@ class ProtoReader:
                 ln, self.pos = decode_varint(self.buf, self.pos)
                 data = self.buf[self.pos : self.pos + ln]
                 if len(data) != ln:
-                    raise ValueError("truncated message")
+                    raise SerializationError("truncated message")
                 self.pos += ln
                 yield field, wire, data
             elif wire == 5:
@@ -105,7 +106,7 @@ class ProtoReader:
                 self.pos += 8
                 yield field, wire, data
             else:
-                raise ValueError(f"unsupported wire type {wire}")
+                raise SerializationError(f"unsupported wire type {wire}")
 
 
 def parse_packed_varints(data: bytes) -> list[int]:

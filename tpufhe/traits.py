@@ -4,9 +4,11 @@
 These abstract base classes define the capability surface every scheme
 implementation exposes: parametrized objects, plaintext encoders/decoders,
 encrypters/decrypters, and the three deserialization flavors (plain,
-parametrized, with-context). tpufhe.bfv implements them structurally
-(duck-typed); the ABCs serve as documentation and as isinstance targets for
-generic user code.
+parametrized, with-context). The concrete tpufhe.bfv classes are registered
+as virtual subclasses at the bottom of this module, so isinstance checks
+against these ABCs work for generic user code, and each registered class
+carries the corresponding trait methods (to_bytes/from_bytes/try_encrypt/
+try_decrypt/...) — verified by tests/test_traits.py.
 """
 
 from __future__ import annotations
@@ -106,3 +108,59 @@ class FheParametersSwitchable(ABC):
     @abstractmethod
     def switch_parameters(self, other):
         ...
+
+
+def _register_implementations():
+    """Register the concrete BFV classes as virtual subclasses.
+
+    The mapping mirrors the reference's trait impls: Ciphertext/keys
+    implement Serialize + DeserializeParametrized
+    (e.g. fhe/src/bfv/ciphertext.rs impl blocks), SecretKey implements
+    FheEncrypter + FheDecrypter (secret_key.rs:186-282), PublicKey
+    implements FheEncrypter (public_key.rs:49-87), Plaintext implements
+    FheEncoder/FheDecoder (plaintext_vec.rs:19-234, plaintext.rs:270-447).
+    """
+    from tpufhe.bfv.ciphertext import Ciphertext
+    from tpufhe.bfv.keys.evaluation_key import EvaluationKey
+    from tpufhe.bfv.keys.galois_key import GaloisKey
+    from tpufhe.bfv.keys.key_switching_key import KeySwitchingKey
+    from tpufhe.bfv.keys.public_key import PublicKey
+    from tpufhe.bfv.keys.relinearization_key import RelinearizationKey
+    from tpufhe.bfv.keys.secret_key import SecretKey
+    from tpufhe.bfv.parameters import BfvParameters
+    from tpufhe.bfv.plaintext import Plaintext, PlaintextVec
+    from tpufhe.bfv.encoding import Encoding
+    from tpufhe.bfv.rgsw import RGSWCiphertext
+    from tpufhe.ops.rq import Poly
+
+    FheParameters.register(BfvParameters)
+    Serialize.register(BfvParameters)
+    Deserialize.register(BfvParameters)
+    FhePlaintextEncoding.register(Encoding)
+    FhePlaintext.register(Plaintext)
+    FheEncoder.register(Plaintext)
+    FheEncoder.register(PlaintextVec)
+    FheDecoder.register(Plaintext)
+    FheCiphertext.register(Ciphertext)
+    FheEncrypter.register(SecretKey)
+    FheDecrypter.register(SecretKey)
+    FheEncrypter.register(PublicKey)
+    DeserializeWithContext.register(Poly)
+    for cls in (
+        Ciphertext,
+        PublicKey,
+        SecretKey,
+        KeySwitchingKey,
+        RelinearizationKey,
+        GaloisKey,
+        EvaluationKey,
+        RGSWCiphertext,
+        Poly,
+    ):
+        FheParametrized.register(cls)
+        Serialize.register(cls)
+        if cls is not Poly:
+            DeserializeParametrized.register(cls)
+
+
+_register_implementations()

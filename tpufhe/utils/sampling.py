@@ -13,6 +13,7 @@ import numpy as np
 
 from tpufhe import native
 from tpufhe.utils.rngs import ChaChaRng
+from tpufhe.errors import ParametersError
 
 
 def sample_vec_cbd(vector_size: int, variance: int, rng) -> np.ndarray:
@@ -21,7 +22,7 @@ def sample_vec_cbd(vector_size: int, variance: int, rng) -> np.ndarray:
     `rng` must expose next_u64() (e.g. utils.rngs.ChaChaRng).
     """
     if not (1 <= variance <= 16):
-        raise ValueError("The variance should be between 1 and 16")
+        raise ParametersError("The variance should be between 1 and 16")
 
     lib = native.lib()
     if lib is not None and isinstance(rng, ChaChaRng):
