@@ -94,9 +94,20 @@ def _keys(par, seed=42, relin=True):
 
 
 def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
-                    vs_baseline=False):
-    """Host-loop chained mul+relin throughput (configs #3 and #5)."""
+                    vs_baseline=False, inner=None):
+    """Chained mul+relin throughput (configs #3 and #5).
+
+    `inner` applications are chained INSIDE one jit program (kbench
+    methodology: amortizes the per-dispatch tunnel latency, which the
+    trace showed costs ~10 ms per call on this runtime); `iters` outer
+    calls chain program outputs into inputs so the runtime's execution
+    memoization cannot hit."""
+    import jax
+
     from tpufhe.pipeline import make_mul_relin
+
+    if inner is None:
+        inner = int(os.environ.get("BENCH_INNER", 4))
 
     par = _build_params(degree, limb_bits, n_limbs)
     sk, rk, _ = _keys(par)
@@ -104,15 +115,21 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
     ctx = par.context_at_level(0)
     arrs = _rand_ct_arrays(ctx, batch, degree)
 
-    out = fn(*arrs)
+    @jax.jit
+    def prog(a0, a1, b0, b1):
+        for _ in range(inner):
+            a0, a1 = fn(a0, a1, b0, b1)
+        return a0, a1
+
+    out = prog(*arrs)
     _sync(out)
     a0, a1, b0, b1 = out[0], out[1], arrs[2], arrs[3]
     t0 = time.perf_counter()
     for _ in range(iters):
-        a0, a1 = fn(a0, a1, b0, b1)
+        a0, a1 = prog(a0, a1, b0, b1)
     _sync(a0, a1)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     extra = {}
     if vs_baseline:
         extra["vs_baseline"] = round(ops / (1e6 / 16), 4)
@@ -274,7 +291,8 @@ def main():
                                             iters=iters)),
             ("pir16384", lambda: bench_mul_relin(
                 16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
-                metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b")),
+                metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b",
+                inner=2)),
         ):
             if not within_budget():
                 _emit(f"skipped_{name}", -1.0, "budget_exceeded")

@@ -68,6 +68,36 @@ def main():
                        recursive=True)
     planes.sort(key=os.path.getmtime)
     print("xplane:", planes[-1] if planes else None)
+    if planes:
+        dump_top_ops(planes[-1])
+
+
+def dump_top_ops(path, top=40):
+    """Aggregate per-op device time from an xplane capture."""
+    from collections import defaultdict
+
+    from jax.profiler import ProfileData
+
+    data = ProfileData.from_file(path)
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        agg = defaultdict(float)
+        count = defaultdict(int)
+        total = 0.0
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Ops" not in line.name:
+                continue
+            for ev in line.events:
+                agg[ev.name] += ev.duration_ns
+                count[ev.name] += 1
+                total += ev.duration_ns
+        if not agg:
+            continue
+        print(f"\n== plane: {plane.name} (total {total/1e6:.2f} ms) ==")
+        for name, ns in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{ns/1e6:9.3f} ms {100*ns/max(total,1):5.1f}% "
+                  f"x{count[name]:<5d} {name[:90]}")
 
 
 if __name__ == "__main__":

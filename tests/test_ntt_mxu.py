@@ -196,3 +196,133 @@ def test_roundtrip_with_batch(ops, plan):
     a = np.stack([_rand_pairs(rng, ops) for _ in range(3)])
     back = np.asarray(ntt_mxu.backward_mxu(ntt_mxu.forward_mxu(a, plan), plan))
     np.testing.assert_array_equal(back, a)
+
+
+# ---------------------------------------------------------------------------
+# Narrow (w30) MXU plan parity
+# ---------------------------------------------------------------------------
+
+MODULI32 = [1073707009, 1073698817, 1073692673]  # 30-bit, = 1 mod 2048
+
+
+@pytest.fixture(scope="module")
+def ops32():
+    return [NttOperator.new(Modulus(p), N) for p in MODULI32]
+
+
+@pytest.fixture(scope="module")
+def plan32(ops32):
+    return ntt_mxu.MxuNttPlan32.new(ops32)
+
+
+def _tables32(ops):
+    import numpy as _np
+
+    om = _np.stack([op.omegas.astype(_np.uint32) for op in ops])
+    oms = _np.stack([
+        _np.array([op.q.shoup32(int(v)) for v in op.omegas], dtype=_np.uint32)
+        for op in ops
+    ])
+    zi = _np.stack([op.zetas_inv.astype(_np.uint32) for op in ops])
+    zis = _np.stack([
+        _np.array([op.q.shoup32(int(v)) for v in op.zetas_inv],
+                  dtype=_np.uint32)
+        for op in ops
+    ])
+    p = _np.array([op.q.p for op in ops], dtype=_np.uint32)
+    p2 = 2 * p
+    ninv = _np.array([op.size_inv for op in ops], dtype=_np.uint32)
+    ninvs = _np.array([op.q.shoup32(int(op.size_inv)) for op in ops],
+                      dtype=_np.uint32)
+    return om, oms, zi, zis, p, p2, ninv, ninvs
+
+
+def _rand32(rng, ops, bound_mul=1):
+    vals = np.stack([
+        rng.integers(0, bound_mul * op.q.p, size=N, dtype=np.uint32)
+        for op in ops
+    ])
+    return vals.reshape(len(ops), N // 128, 128)
+
+
+@pytest.mark.parametrize("bound", [1, 3])
+def test_forward32_parity(ops32, plan32, bound):
+    rng = np.random.default_rng(21)
+    om, oms, p, p2 = _tables32(ops32)[0], _tables32(ops32)[1], \
+        _tables32(ops32)[4], _tables32(ops32)[5]
+    a = _rand32(rng, ops32, bound)
+    want = np.asarray(
+        ntt_mod.forward32(a.reshape(len(ops32), N), om, oms, p, p2)
+    )
+    got = np.asarray(ntt_mxu.forward_mxu32(a, plan32))
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_forward32_lazy_bound(ops32, plan32):
+    rng = np.random.default_rng(22)
+    a = _rand32(rng, ops32)
+    got = np.asarray(ntt_mxu.forward_mxu32(a, plan32, lazy=True))
+    full = np.asarray(ntt_mxu.forward_mxu32(a, plan32))
+    for i, op in enumerate(ops32):
+        assert got[i].max() < 2 * op.q.p
+        np.testing.assert_array_equal(got[i] % np.uint32(op.q.p), full[i])
+
+
+def test_backward32_parity(ops32, plan32):
+    rng = np.random.default_rng(23)
+    t = _tables32(ops32)
+    zi, zis, p, p2, ninv, ninvs = t[2], t[3], t[4], t[5], t[6], t[7]
+    a = _rand32(rng, ops32)
+    want = np.asarray(
+        ntt_mod.backward32(a.reshape(len(ops32), N), zi, zis, ninv, ninvs,
+                           p, p2)
+    )
+    got = np.asarray(ntt_mxu.backward_mxu32(a, plan32))
+    np.testing.assert_array_equal(got.reshape(want.shape), want)
+
+
+def test_rq_routing32_parity(ops32, monkeypatch):
+    """ntt_forward_any/backward_any via the narrow MXU route match the
+    butterfly path bit-exactly on a narrow context."""
+    monkeypatch.setenv("TPUFHE_MXU_NTT32", "1")
+    from tpufhe.ops import rq
+
+    ctx = rq.Context(tuple(MODULI32), N, narrow=True)
+    rng = np.random.default_rng(24)
+    a = _rand32(rng, ops32)[:, None]  # (k, 1, S, L)
+    got_f = np.asarray(rq.ntt_forward_any(ctx, a))
+    monkeypatch.setenv("TPUFHE_MXU_NTT32", "0")
+    want_f = np.asarray(rq.ntt_forward_any(ctx, a))
+    np.testing.assert_array_equal(got_f, want_f)
+
+    monkeypatch.setenv("TPUFHE_MXU_NTT32", "1")
+    got_b = np.asarray(rq.ntt_backward_any(ctx, a))
+    monkeypatch.setenv("TPUFHE_MXU_NTT32", "0")
+    want_b = np.asarray(rq.ntt_backward_any(ctx, a))
+    np.testing.assert_array_equal(got_b, want_b)
+
+
+def test_flat_lowering_parity(ops, plan, ops32, plan32, monkeypatch):
+    """The flat 2D-matmul lowering produces bit-identical arrays to the
+    einsum lowering, wide and narrow, forward (incl. lazy) and backward."""
+    monkeypatch.setenv("TPUFHE_MXU_FLAT", "0")
+    rng = np.random.default_rng(31)
+    a = _rand_pairs(rng, ops, bound_mul=4)
+    want_f = np.asarray(ntt_mxu.forward_mxu(a, plan))
+    want_fl = np.asarray(ntt_mxu.forward_mxu(a, plan, lazy=True))
+    want_b = np.asarray(ntt_mxu.backward_mxu(a, plan))
+    a32 = _rand32(rng, ops32, 3)
+    want32_f = np.asarray(ntt_mxu.forward_mxu32(a32, plan32))
+    want32_b = np.asarray(ntt_mxu.backward_mxu32(a32, plan32))
+
+    monkeypatch.setenv("TPUFHE_MXU_FLAT", "1")
+    np.testing.assert_array_equal(
+        np.asarray(ntt_mxu.forward_mxu(a, plan)), want_f)
+    np.testing.assert_array_equal(
+        np.asarray(ntt_mxu.forward_mxu(a, plan, lazy=True)) , want_fl)
+    np.testing.assert_array_equal(
+        np.asarray(ntt_mxu.backward_mxu(a, plan)), want_b)
+    np.testing.assert_array_equal(
+        np.asarray(ntt_mxu.forward_mxu32(a32, plan32)), want32_f)
+    np.testing.assert_array_equal(
+        np.asarray(ntt_mxu.backward_mxu32(a32, plan32)), want32_b)

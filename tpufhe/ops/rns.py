@@ -444,6 +444,10 @@ class RnsScaler:
             planes = _extract_planes(
                 rests[..., :, 0, :, :], rests[..., :, 1, :, :]
             )  # (..., k_in, A, S, L) int8
+            # NOTE: emitting channels last ("...uvr", the conv-native
+            # layout) to skip the 83-channel transpose copy measured
+            # SLOWER end-to-end (2221 vs 2258 ops/s): the strided-lane
+            # fold reads cost more than the copy. Keep "...ruv".
             C = jnp.einsum(
                 "rai,...iauv->...ruv",
                 jnp.asarray(self._mxu_consts["w"]), planes,

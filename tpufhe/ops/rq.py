@@ -292,6 +292,17 @@ class _DeviceConsts:
             self._mxu_plans[key] = MxuNttPlan.new(self._ctx.ops[sl])
         return self._mxu_plans[key]
 
+    def mxu_plan32(self, sl: slice):
+        """Cached narrow (w30) four-step MXU plan for a limb slice."""
+        key = (sl.start, sl.stop, sl.step)
+        if not hasattr(self, "_mxu_plans32"):
+            self._mxu_plans32 = {}
+        if key not in self._mxu_plans32:
+            from tpufhe.ops.ntt_mxu import MxuNttPlan32
+
+            self._mxu_plans32[key] = MxuNttPlan32.new(self._ctx.ops[sl])
+        return self._mxu_plans32[key]
+
 
 # ---------------------------------------------------------------------------
 # jitted per-context kernels
@@ -307,6 +318,29 @@ def _pallas_ok(ctx: Context) -> bool:
     if ctx.degree < 256 or ctx.degree % 128 != 0:
         return False
     try:
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _mxu32_ok(ctx: Context) -> bool:
+    """Route narrow (w30) NTTs through the four-step MXU path.
+
+    Same gating as _mxu_ok but for single-lane limbs: the narrow plan
+    contracts 5x5 digit planes (vs 10x9 wide) and folds through one u64
+    Barrett reduce, so the MXU carries ~72% less multiply volume than the
+    wide plan per limb. TPUFHE_MXU_NTT32=0 opts out, =1 forces (CPU
+    parity tests)."""
+    flag = os.environ.get("TPUFHE_MXU_NTT32", "")
+    if flag == "0":
+        return False
+    if not ctx.narrow or ctx.degree < 1024 or ctx.degree % 128 != 0:
+        return False
+    if flag == "1":
+        return True
+    try:
+        import jax as _jax
+
         return _jax.default_backend() == "tpu"
     except Exception:
         return False
@@ -345,7 +379,7 @@ def _fold(coeffs):
 
 
 def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
-                    limb_slice: slice | None = None):
+                    limb_slice: slice | None = None, in_bits: int = 64):
     """Forward NTT on (..., k, 2|1, S, L), Pallas-fused on TPU, XLA otherwise.
 
     limb_slice restricts to a contiguous subset of the context's limbs
@@ -354,6 +388,12 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
     d = ctx.dev
     sl = limb_slice if limb_slice is not None else slice(None)
     if ctx.narrow:
+        if _mxu32_ok(ctx):
+            from tpufhe.ops.ntt_mxu import forward_mxu32
+
+            out = forward_mxu32(coeffs[..., 0, :, :], d.mxu_plan32(sl),
+                                lazy=lazy)
+            return out[..., None, :, :]
         if _pallas_ok(ctx):
             from tpufhe.ops.pallas.ntt32_kernel import ntt32_pallas
 
@@ -373,7 +413,8 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
     if _mxu_ok(ctx):
         from tpufhe.ops.ntt_mxu import forward_mxu
 
-        return forward_mxu(coeffs, d.mxu_plan(sl), lazy=lazy)
+        return forward_mxu(coeffs, d.mxu_plan(sl), lazy=lazy,
+                           in_bits=in_bits)
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 
@@ -390,10 +431,16 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
     ))
 
 
-def ntt_backward_any(ctx: Context, coeffs):
+def ntt_backward_any(ctx: Context, coeffs, in_bits: int = 64):
     """Inverse NTT on (..., k, 2|1, S, L), Pallas-fused on TPU, XLA otherwise."""
     d = ctx.dev
     if ctx.narrow:
+        if _mxu32_ok(ctx):
+            from tpufhe.ops.ntt_mxu import backward_mxu32
+
+            out = backward_mxu32(coeffs[..., 0, :, :],
+                                 d.mxu_plan32(slice(None)))
+            return out[..., None, :, :]
         if _pallas_ok(ctx):
             from tpufhe.ops.pallas.ntt32_kernel import ntt32_pallas
 
@@ -412,7 +459,8 @@ def ntt_backward_any(ctx: Context, coeffs):
     if _mxu_ok(ctx):
         from tpufhe.ops.ntt_mxu import backward_mxu
 
-        return backward_mxu(coeffs, d.mxu_plan(slice(None)))
+        return backward_mxu(coeffs, d.mxu_plan(slice(None)),
+                            in_bits=in_bits)
     if _pallas_ok(ctx):
         from tpufhe.ops.pallas.ntt_kernel import ntt_pallas
 

@@ -126,7 +126,7 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
         lifted = jnp.broadcast_to(
             lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + lane_shape(ctx.degree)
         )
-        lifted = ntt_forward_any(ctx, lifted, lazy=True)  # ONE pallas call
+        lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=63)  # ONE call
 
         acc0 = acc1 = None
         for i in range(k):
@@ -155,7 +155,7 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
     lifted = jnp.broadcast_to(
         lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + lane_shape(ctx.degree)
     )
-    lifted = ntt_forward_any(ctx, lifted, lazy=True)  # ONE pallas call
+    lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=63)  # ONE call
 
     acc0 = None
     acc1 = None
@@ -195,10 +195,10 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
     def step(a0, a1, b0, b1):
         x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
         # extend to the multiplication basis (ops/mod.rs:307-317)
-        x_pb = ntt_backward_any(ctx, x)
+        x_pb = ntt_backward_any(ctx, x, in_bits=62)
         new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
         new_rows = ntt_forward_any(ctx_mul, new_rows,
-                                   limb_slice=slice(k, k_mul))
+                                   limb_slice=slice(k, k_mul), in_bits=62)
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
@@ -209,9 +209,9 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
         t = jnp.stack([c0, c1, c2])
 
         # down-scale by t/q (ops/mod.rs:326-332)
-        t_pb = ntt_backward_any(ctx_mul, t)
+        t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)  # power basis
-        c01 = ntt_forward_any(ctx, dsc[:2])
+        c01 = ntt_forward_any(ctx, dsc[:2], in_bits=62)
 
         # relinearize c2 (relinearization_key.rs:71-98)
         ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
@@ -236,10 +236,10 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
 
     def step(a0, a1):
         x = jnp.stack([a0, a1])
-        x_pb = ntt_backward_any(ctx, x)
+        x_pb = ntt_backward_any(ctx, x, in_bits=62)
         new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
         new_rows = ntt_forward_any(ctx_mul, new_rows,
-                                   limb_slice=slice(k, k_mul))
+                                   limb_slice=slice(k, k_mul), in_bits=62)
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e = ext[0], ext[1]
 
@@ -249,9 +249,9 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
         c2 = mul_m(a1e, a1e)
         t = jnp.stack([c0, c1, c2])
 
-        t_pb = ntt_backward_any(ctx_mul, t)
+        t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)
-        c01 = ntt_forward_any(ctx, dsc[:2])
+        c01 = ntt_forward_any(ctx, dsc[:2], in_bits=62)
 
         ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
         return add_c(c01[0], ks0), add_c(c01[1], ks1)
@@ -347,7 +347,7 @@ def make_rotate(par: BfvParameters, gk, level: int = 0):
     def step(c0, c1):
         s0 = _fold(jnp.take(_unfold(c0), jnp.asarray(perm), axis=-1))
         s1 = _fold(jnp.take(_unfold(c1), jnp.asarray(perm), axis=-1))
-        c2_pb = ntt_backward_any(ctx, s1)
+        c2_pb = ntt_backward_any(ctx, s1, in_bits=62)
         ks0, ks1 = _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1)
         return add_c(ks0, s0), ks1
 
