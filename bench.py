@@ -28,6 +28,7 @@ import os
 import subprocess
 import sys
 import time
+from functools import partial
 
 os.environ.setdefault("XLA_FLAGS", "")
 import numpy as np
@@ -115,7 +116,9 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
     ctx = par.context_at_level(0)
     arrs = _rand_ct_arrays(ctx, batch, degree)
 
-    @jax.jit
+    # donate the chained operand buffers: XLA may alias them into the
+    # outputs instead of copying (the trace shows ~24% blocking DMA)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def prog(a0, a1, b0, b1):
         for _ in range(inner):
             a0, a1 = fn(a0, a1, b0, b1)

@@ -150,3 +150,15 @@ def test_sharded_mul_relin_jitted_wide():
         np.testing.assert_array_equal(
             np.asarray(out1)[i], np.asarray(wants[i][1].coeffs)
         )
+
+    # inspect the collectives GSPMD inserted for the limb-sharded base
+    # extension (VERDICT r1 item 2): the cross-limb concat/base-extension
+    # must communicate across the `limb` mesh axis, not silently
+    # replicate everything.
+    compiled = fn.lower(*args).compile()
+    hlo = compiled.as_text()
+    assert any(
+        op in hlo
+        for op in ("all-gather", "all-to-all", "collective-permute",
+                   "all-reduce")
+    ), "expected at least one cross-device collective in the sharded HLO"

@@ -182,7 +182,10 @@ def psum_mod(coeffs, ctx, axis_name: str):
 def make_sharded_pk_aggregation(par: BfvParameters, mesh, parties_axis="parties"):
     """shard_map program: each device holds its party's p0 share; the
     aggregate rides a psum over the parties mesh axis."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     ctx = par.context_at_level(0)

@@ -181,7 +181,10 @@ class DistNtt:
         return data, const
 
     def _build(self, nlead: int, lazy: bool):
-        from jax.experimental.shard_map import shard_map
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
 
         plan, ax, D = self.plan, self.seq_axis, self.n_shards
         data_spec, const_spec = self._specs(nlead)
