@@ -9,8 +9,9 @@ Measures all five tracked configs of BASELINE.md (VERDICT r1 item 5):
 plus (optionally, BENCH_SCALING=1) a 1->8 virtual-CPU-device scaling
 efficiency number from benches/scaling.py.
 
-Prints one JSON line per config; the HEADLINE (#3) is printed LAST so
-drivers that parse the final line keep tracking the north-star metric:
+Prints one JSON line per config; the HEADLINE (#3) runs and prints
+FIRST (so a driver timeout still captures it) and is re-emitted as the
+FINAL line (so last-line parsers track the north-star metric):
   {"metric": ..., "value": N, "unit": "...", "vs_baseline": N}
 vs_baseline for #3: measured / 62500 (1e6 mul+relin/s on a v5p-16 spread
 over 16 chips). Methodology per CLAUDE.md: chained inputs defeat the
@@ -66,9 +67,14 @@ def _rand_ct_arrays(ctx, batch, n, count=4, seed=0):
     return arrs
 
 
+_LAST = {}
+
+
 def _emit(metric, value, unit, **extra):
     line = {"metric": metric, "value": round(value, 4), "unit": unit}
     line.update(extra)
+    _LAST.clear()
+    _LAST.update(line)
     print(json.dumps(line), flush=True)
 
 
@@ -286,6 +292,21 @@ def main():
     def within_budget():
         return time.time() - start < budget
 
+    # headline FIRST (so a driver timeout still captures it), re-emitted
+    # LAST (so last-line parsers see it too)
+    def run_headline():
+        return bench_mul_relin(
+            degree, limb_bits, n_limbs, batch=batch, iters=iters,
+            metric=(
+                f"bfv_mul_relin_ops_per_s_per_chip_n{degree}"
+                f"_l{n_limbs}x{limb_bits}b"
+            ),
+            vs_baseline=True,
+        )
+
+    run_headline()
+    headline = dict(_LAST)
+
     if only != "3":
         for name, fn in (
             ("encdec", lambda: bench_enc_dec(batch=batch, iters=iters)),
@@ -307,15 +328,8 @@ def main():
         if os.environ.get("BENCH_SCALING", "0") == "1" and within_budget():
             bench_scaling()
 
-    # headline LAST: config #3 (or the env-overridden variant)
-    bench_mul_relin(
-        degree, limb_bits, n_limbs, batch=batch, iters=iters,
-        metric=(
-            f"bfv_mul_relin_ops_per_s_per_chip_n{degree}"
-            f"_l{n_limbs}x{limb_bits}b"
-        ),
-        vs_baseline=True,
-    )
+        # re-emit the headline as the final line
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
