@@ -52,15 +52,21 @@ def main():
     )
     from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
 
-    degree = int(os.environ.get("SCALING_DEGREE", 2048))
+    # wide-limb sharded compiles take >30 min on this 1-core host; the
+    # scaling harness uses the narrow dryrun config (same program the
+    # driver's dryrun_multichip caches) — the wide sharded path is
+    # validated by tests/test_pipeline_jit.py and the dryrun instead
+    degree = int(os.environ.get("SCALING_DEGREE", 256))
+    limb_bits = int(os.environ.get("SCALING_LIMB_BITS", 30))
+    n_limbs = int(os.environ.get("SCALING_LIMBS", 4))
     per_dev_batch = int(os.environ.get("SCALING_BATCH", 2))
     iters = int(os.environ.get("SCALING_ITERS", 3))
 
     par = (
         BfvParametersBuilder()
         .set_degree(degree)
-        .set_plaintext_modulus(1153)
-        .set_moduli_sizes([62, 62])
+        .set_plaintext_modulus(257 if degree == 256 else 1153)
+        .set_moduli_sizes([limb_bits] * n_limbs)
         .build()
     )
     r = ChaCha8Rng(seed_from_u64(17))
@@ -79,7 +85,10 @@ def main():
                 ],
                 axis=1,
             )
-            out.append(pack_u64(mat))
+            packed = pack_u64(mat)
+            if ctx.narrow:
+                packed = packed[..., :1, :, :]
+            out.append(packed)
         return out
 
     def measure(n_batch_devs):
