@@ -114,7 +114,10 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
     from tpufhe.pipeline import make_mul_relin
 
     if inner is None:
-        inner = int(os.environ.get("BENCH_INNER", 4))
+        # chaining more applications per program amortizes the ~10 ms
+        # tunnel dispatch: inner 4 -> 8 -> 16 measured 2740/2971(+kernels:
+        # 4115)/4257 ops/s at N=8192/L=3/B=64
+        inner = int(os.environ.get("BENCH_INNER", 16))
 
     par = _build_params(degree, limb_bits, n_limbs)
     sk, rk, _ = _keys(par)

@@ -1,0 +1,61 @@
+"""Parity tests for the balanced 8-bit digit-plane mode (TPUFHE_MXU_B8).
+
+The b8 kernel must produce bit-identical canonical outputs to the 7-bit
+kernel (same twiddles, same fold class mod p, full reduction), and its
+lazy outputs must be < 2p and congruent mod p. Runs the Pallas kernel in
+interpret mode on CPU.
+"""
+
+import numpy as np
+import pytest
+
+from tpufhe.ops.ntt import NttOperator
+from tpufhe.ops.ntt_mxu import MxuNttPlan
+from tpufhe.ops.pallas.mxu_ntt_kernel import build_mxu4_consts, mxu4_pallas
+from tpufhe.ops.rq import pack_u64
+from tpufhe.ops.zq import Modulus
+
+RNG = np.random.default_rng(41)
+
+P = [4611686018326724609, 4611686018309947393]
+N = 1024
+
+
+def _plan():
+    ops = [NttOperator.new(Modulus(p), N) for p in P]
+    return MxuNttPlan.new(ops)
+
+
+def _rand_canonical(batch):
+    x = np.stack(
+        [RNG.integers(0, p, size=(batch, N), dtype=np.uint64) for p in P],
+        axis=1,
+    )  # (batch, k, N)
+    return pack_u64(x)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("lazy", [False, True])
+def test_b8_parity(inverse, lazy):
+    if inverse and lazy:
+        pytest.skip("inverse kernel output is always canonical")
+    plan = _plan()
+    x = np.asarray(_rand_canonical(2))
+    c7 = build_mxu4_consts(plan, inverse, 9)
+    c8 = build_mxu4_consts(plan, inverse, 8, b8=True)
+    kw = dict(lazy=lazy, inverse=inverse, interpret=True)
+    out7 = np.asarray(mxu4_pallas(x, c7, **kw))
+    out8 = np.asarray(mxu4_pallas(x, c8, b8=True, **kw))
+    if not lazy:
+        np.testing.assert_array_equal(out8, out7)
+        return
+    # lazy: representatives may differ; values must agree mod p and be < 2p
+    from tpufhe.ops.rq import unpack_u64
+
+    v7 = unpack_u64(out7)
+    v8 = unpack_u64(out8)
+    for i, p in enumerate(P):
+        a7 = v7[:, i].astype(object)
+        a8 = v8[:, i].astype(object)
+        assert (a8 < 2 * p).all()
+        np.testing.assert_array_equal(a7 % p, a8 % p)

@@ -241,3 +241,50 @@ def run_sealpir(database_size=64, elements_size=16, degree=64,
         plaintext_bytes[offset * elements_size : (offset + 1) * elements_size]
     )
     return answer, database[index]
+
+
+def main(argv=None):
+    """CLI mirroring the reference's clap parser (examples/pir.rs:8-24):
+    --database-size / --element-size with the paper-scale defaults, plus
+    scheme/degree knobs shared by the sealpir/mulpir examples."""
+    import argparse
+    import time
+
+    ap = argparse.ArgumentParser(
+        prog="python -m tpufhe.models.pir",
+        description="Run a MulPIR or SealPIR retrieval end to end.",
+    )
+    ap.add_argument("--database-size", type=int, default=65536,
+                    help="The number of elements in the database")
+    ap.add_argument("--element-size", type=int, default=1024,
+                    help="The size of each database element (bytes)")
+    ap.add_argument("--scheme", choices=("mulpir", "sealpir"),
+                    default="mulpir")
+    ap.add_argument("--degree", type=int, default=8192)
+    args = ap.parse_args(argv)
+
+    kwargs = {}
+    if args.scheme == "mulpir" and args.degree == 8192:
+        # the mulpir.rs paper plaintext modulus (examples/mulpir.rs:61)
+        kwargs["plaintext_modulus"] = (
+            (1 << 20) + (1 << 19) + (1 << 17) + (1 << 16) + (1 << 14) + 1)
+    run = run_mulpir if args.scheme == "mulpir" else run_sealpir
+    report: dict = {}
+    if args.scheme == "mulpir":
+        kwargs["report"] = report
+    t0 = time.perf_counter()
+    got, want = run(
+        database_size=args.database_size, elements_size=args.element_size,
+        degree=args.degree, **kwargs,
+    )
+    dt = time.perf_counter() - t0
+    ok = got == want
+    print(f"{args.scheme} db={args.database_size}x{args.element_size}B "
+          f"degree={args.degree}: {'OK' if ok else 'FAILED'} in {dt:.1f} s")
+    for k, v in report.items():
+        print(f"  {k:14s} {v if not isinstance(v, float) else round(v, 3)}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -114,6 +114,10 @@ class MxuNttPlan:
     p2_pair: tuple
     barrett_lo: tuple
     barrett_hi: tuple
+    # host-only: per-limb (m1f, m2f, m2b, m1b) object matrices + moduli,
+    # kept so alternate digit encodings (balanced 8-bit planes) can be
+    # built without recomputing the power tables
+    raw: tuple = None
 
     @staticmethod
     def new(ops: list[NttOperator], n2: int = 128) -> "MxuNttPlan":
@@ -125,6 +129,7 @@ class MxuNttPlan:
 
         m1f, tf, tfs, m2f = [], [], [], []
         m2b, tb, tbs, m1b = [], [], [], []
+        raw = []
         p_lo, p_hi, p2_lo, p2_hi, bl_lo, bl_hi, bh_lo, bh_hi = ([] for _ in range(8))
         for op in ops:
             p = op.q.p
@@ -140,11 +145,11 @@ class MxuNttPlan:
             ipsi_pow = _pow_table(ipsi, p, n2 * (n1 - 1) + n2)
             iwt = _pow_table(iw, p, (n1 - 1) * (n2 - 1) + 1)
 
-            obj = np.empty((n1, n1), dtype=object)
+            obj_m1f = np.empty((n1, n1), dtype=object)
             for i1 in range(n1):
                 for j1 in range(n1):
-                    obj[i1, j1] = psi_pow[n2 * j1] * pow(w, n2 * j1 * int(rev1[i1]), p) % p
-            m1f.append(_digit_planes(obj, p))
+                    obj_m1f[i1, j1] = psi_pow[n2 * j1] * pow(w, n2 * j1 * int(rev1[i1]), p) % p
+            m1f.append(_digit_planes(obj_m1f, p))
 
             t = np.empty((n1, n2), dtype=object)
             for i1 in range(n1):
@@ -154,18 +159,18 @@ class MxuNttPlan:
             tf.append(_pairs_np(t))
             tfs.append(_pairs_np(np.vectorize(op.q.shoup, otypes=[object])(t)))
 
-            obj = np.empty((n2, n2), dtype=object)
+            obj_m2f = np.empty((n2, n2), dtype=object)
             for j2 in range(n2):
                 for i2 in range(n2):
-                    obj[j2, i2] = pow(w, n1 * j2 * int(rev2[i2]), p)
-            m2f.append(_digit_planes(obj, p))
+                    obj_m2f[j2, i2] = pow(w, n1 * j2 * int(rev2[i2]), p)
+            m2f.append(_digit_planes(obj_m2f, p))
 
-            obj = np.empty((n2, n2), dtype=object)
+            obj_m2b = np.empty((n2, n2), dtype=object)
             for i2 in range(n2):
                 k2 = int(rev2[i2])
                 for j2 in range(n2):
-                    obj[i2, j2] = pow(iw, n1 * k2 * j2, p)
-            m2b.append(_digit_planes(obj, p))
+                    obj_m2b[i2, j2] = pow(iw, n1 * k2 * j2, p)
+            m2b.append(_digit_planes(obj_m2b, p))
 
             t = np.empty((n1, n2), dtype=object)
             for i1 in range(n1):
@@ -175,11 +180,12 @@ class MxuNttPlan:
             tb.append(_pairs_np(t))
             tbs.append(_pairs_np(np.vectorize(op.q.shoup, otypes=[object])(t)))
 
-            obj = np.empty((n1, n1), dtype=object)
+            obj_m1b = np.empty((n1, n1), dtype=object)
             for j1 in range(n1):
                 for i1 in range(n1):
-                    obj[j1, i1] = ninv * ipsi_pow[n2 * j1] * pow(iw, n2 * j1 * int(rev1[i1]), p) % p
-            m1b.append(_digit_planes(obj, p))
+                    obj_m1b[j1, i1] = ninv * ipsi_pow[n2 * j1] * pow(iw, n2 * j1 * int(rev1[i1]), p) % p
+            m1b.append(_digit_planes(obj_m1b, p))
+            raw.append((obj_m1f, obj_m2f, obj_m2b, obj_m1b, p))
 
             for lst, val in (
                 (p_lo, p & 0xFFFFFFFF), (p_hi, p >> 32),
@@ -202,6 +208,7 @@ class MxuNttPlan:
             m1b=np.stack(m1b),
             p_pair=pair(p_lo, p_hi), p2_pair=pair(p2_lo, p2_hi),
             barrett_lo=pair(bl_lo, bl_hi), barrett_hi=pair(bh_lo, bh_hi),
+            raw=tuple(raw),
         )
 
 
@@ -573,6 +580,87 @@ def _flat_consts(plan):
             plan.m2b.transpose(0, 1, 3, 2, 4).reshape(k, A * n2, B * n2))
         _FLAT_CACHE[key] = (m1f, m1b, m2f, m2b)
     return _FLAT_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Balanced 8-bit digit planes (TPUFHE_MXU_B8)
+# ---------------------------------------------------------------------------
+
+# With unsigned 7-bit digits, canonical (< p < 2^62) values need 9 data and
+# 9 matrix planes: 81 plane-product units per matmul stage. Balanced base-256
+# digits in [-128, 127] still fit int8 while covering 8 bits per plane, so
+# canonical values need only 8x8 = 64 units — 21% less MXU volume — and every
+# extract/fold loop runs 8 planes instead of 9. Host-side the matrix digits
+# are balanced exactly (borrow propagation; top digit of a < 2^62 residue
+# stays <= 64). Runtime data digits use the offset identity
+#   x = sum_a ((x + 0x80..80 >> 8a & 0xFF) - 128) * 256^a   for x < 2^63-2^56
+# (one u64 add + per-plane subtract; no borrow logic on device). Signed
+# products make the int32 fold planes signed; the fold adds a static offset
+# K = 2^24 per plane and subtracts the closed-form constant
+# K * 0x0101010101010101 once after the column fold — linearity makes the
+# correction exact. Outputs are bit-identical to the 7-bit path for
+# canonical (non-lazy) results since both fold to the same integer class
+# mod p and reduce fully; lazy (< 2p) representatives may differ, which
+# downstream Shoup/Barrett ops are representation-oblivious to.
+
+B8_BITS = 8
+B8_PLANES = 8  # data and matrix planes for values < 2^62
+B8_FOLD_K = 1 << 24  # per-plane fold offset; |C| < 128*127*1024 < 2^24
+B8_FOLD_CORR = B8_FOLD_K * 0x0101010101010101  # sum_b K * 2^(8b)
+
+
+def _bal_digit_planes(obj: np.ndarray, p: int,
+                      data_planes: int = B8_PLANES) -> np.ndarray:
+    """(r, c) object ints < p -> (A, 8, r, c) int8 balanced 8-bit planes.
+
+    planes[a, b] = balanced digit b of (obj * 2^(8a) mod p).
+    """
+    r, c = obj.shape
+    out = np.zeros((data_planes, B8_PLANES, r, c), dtype=np.int8)
+    for a in range(data_planes):
+        ma = (obj * (1 << (B8_BITS * a))) % p
+        digs = np.zeros((B8_PLANES, r, c), dtype=np.int64)
+        for b in range(B8_PLANES):
+            digs[b] = ((ma >> (B8_BITS * b)) & 0xFF).astype(np.int64)
+        for b in range(B8_PLANES - 1):
+            hi = digs[b] >= 128
+            digs[b] -= 256 * hi
+            digs[b + 1] += hi
+        assert digs[B8_PLANES - 1].max(initial=0) <= 127
+        out[a] = digs.astype(np.int8)
+    return out
+
+
+_B8_FLAT_CACHE: dict = {}
+
+
+def _flat_consts_b8(plan):
+    """Balanced-8 analogues of _flat_consts, built from plan.raw.
+
+    Same flattened orientations:
+      m1f/m1b: (k, B*n1, A*n1) with flat[b*n1+i, a*n1+j] = planes[a,b,i,j]
+      m2f/m2b: (k, A*n2, B*n2) with flat[a*j, b*v]      = planes[a,b,j,v]
+    """
+    key = id(plan)
+    if key not in _B8_FLAT_CACHE:
+        assert plan.raw is not None, "plan built without raw matrices"
+        A = B = B8_PLANES
+        n1, n2 = plan.n1, plan.n2
+        m1f, m1b, m2f, m2b = [], [], [], []
+        for obj_m1f, obj_m2f, obj_m2b, obj_m1b, p in plan.raw:
+            pl1f = _bal_digit_planes(obj_m1f, p)
+            pl1b = _bal_digit_planes(obj_m1b, p)
+            pl2f = _bal_digit_planes(obj_m2f, p)
+            pl2b = _bal_digit_planes(obj_m2b, p)
+            m1f.append(pl1f.transpose(1, 2, 0, 3).reshape(B * n1, A * n1))
+            m1b.append(pl1b.transpose(1, 2, 0, 3).reshape(B * n1, A * n1))
+            m2f.append(pl2f.transpose(0, 2, 1, 3).reshape(A * n2, B * n2))
+            m2b.append(pl2b.transpose(0, 2, 1, 3).reshape(A * n2, B * n2))
+        _B8_FLAT_CACHE[key] = tuple(
+            np.ascontiguousarray(np.stack(m))
+            for m in (m1f, m1b, m2f, m2b)
+        )
+    return _B8_FLAT_CACHE[key]
 
 
 def _use_flat() -> bool:

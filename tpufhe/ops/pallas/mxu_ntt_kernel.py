@@ -41,27 +41,35 @@ from tpufhe.ops.u64 import U32
 B_PLANES = MAT_PLANES  # 9
 
 
-def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int):
+def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int,
+                      b8: bool = False):
     """Per-limb flattened constants for the kernel.
 
     Returns (m_sub, tw, m_lane, scal):
       m_sub  (k, B*n1, Ax*n1) i8 — the sublane-contracting matrix
-              (M1f for forward, M1b for inverse; Ax = in_planes fwd, 9 inv)
+              (M1f for forward, M1b for inverse; Ax = in_planes fwd, a2 inv)
       tw     (k, 2, 2, n1, 128) u32 — [val|shoup][lo|hi] twiddles
       m_lane (k, Ay*128, B*128) i8 — the lane-contracting matrix
-              (M2f fwd with Ay=9, M2b inv with Ay = in_planes)
+              (M2f fwd with Ay=a2, M2b inv with Ay = in_planes)
       scal   (k, 6) u32 — p, barrett_lo, barrett_hi as lo/hi pairs
+    b8 selects the balanced 8-bit planes (in_planes must be 8; inputs
+    must be canonical < 2^62 — see ntt_mxu.py B8 notes).
     """
-    from tpufhe.ops.ntt_mxu import _flat_consts
+    from tpufhe.ops.ntt_mxu import _flat_consts, _flat_consts_b8
 
-    m1f, m1b, m2f, m2b = _flat_consts(plan)
+    if b8:
+        assert in_planes == 8
+        m1f, m1b, m2f, m2b = _flat_consts_b8(plan)
+    else:
+        m1f, m1b, m2f, m2b = _flat_consts(plan)
+    a2 = 8 if b8 else 9
     n1, n2 = plan.n1, plan.n2
     if not inverse:
         m_sub = m1f[:, :, : in_planes * n1]
-        m_lane = m2f[:, : 9 * n2]
+        m_lane = m2f[:, : a2 * n2]
         tw_v, tw_s = plan.tf, plan.tf_shoup
     else:
-        m_sub = m1b[:, :, : 9 * n1]
+        m_sub = m1b[:, :, : a2 * n1]
         m_lane = m2b[:, : in_planes * n2]
         tw_v, tw_s = plan.tb, plan.tb_shoup
     tw = np.stack([tw_v, tw_s], axis=1)  # (k, 2, 2, n1, n2)
@@ -81,49 +89,85 @@ def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int):
     )
 
 
-def _extract_sub(lo, hi, n_planes):
+def _digit_planes_jnp(lo, hi, n_planes, b8):
+    """(n1, L) u64 pair -> list of n_planes (n1, L) i8 digit planes.
+
+    b8: balanced base-256 via the offset identity (inputs must be < 2^62;
+    see ntt_mxu.py B8 notes). Otherwise unsigned 7-bit digits (any u64).
+    """
+    planes = []
+    if b8:
+        lo, hi = u64.add64((lo, hi), (U32(0x80808080), U32(0x80808080)))
+        for a in range(n_planes):
+            sh = 8 * a
+            v = (lo >> U32(sh)) if sh < 32 else (hi >> U32(sh - 32))
+            planes.append(
+                ((v & U32(0xFF)).astype(jnp.int32) - 128).astype(jnp.int8))
+        return planes
+    for a in range(n_planes):
+        sh = DIGIT_BITS * a
+        if sh < 32:
+            v = lo >> U32(sh)
+            if sh + DIGIT_BITS > 32:
+                v = v | (hi << U32(32 - sh))
+        else:
+            v = hi >> U32(sh - 32)
+        planes.append((v & U32(DIGIT_MASK)).astype(jnp.int8))
+    return planes
+
+
+def _extract_sub(lo, hi, n_planes, b8=False):
     """(n1, L) u64 pair -> (n_planes*n1, L) i8, planes stacked on sublanes."""
-    planes = []
-    for a in range(n_planes):
-        sh = DIGIT_BITS * a
-        if sh < 32:
-            v = lo >> U32(sh)
-            if sh + DIGIT_BITS > 32:
-                v = v | (hi << U32(32 - sh))
-        else:
-            v = hi >> U32(sh - 32)
-        planes.append((v & U32(DIGIT_MASK)).astype(jnp.int8))
-    return jnp.concatenate(planes, axis=0)
+    return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=0)
 
 
-def _extract_lane(lo, hi, n_planes):
+def _extract_lane(lo, hi, n_planes, b8=False):
     """(n1, L) u64 pair -> (n1, n_planes*L) i8, planes stacked on lanes."""
-    planes = []
-    for a in range(n_planes):
-        sh = DIGIT_BITS * a
-        if sh < 32:
-            v = lo >> U32(sh)
-            if sh + DIGIT_BITS > 32:
-                v = v | (hi << U32(32 - sh))
-        else:
-            v = hi >> U32(sh - 32)
-        planes.append((v & U32(DIGIT_MASK)).astype(jnp.int8))
-    return jnp.concatenate(planes, axis=1)
+    return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=1)
 
 
-def _fold_slices(take, consts, lazy):
-    """Fold 9 int32 planes (via take(b) -> (n1, L) u32) mod p."""
+def _fold_slices(take, consts, lazy, b8=False):
+    """Fold int32 planes (via take(b) -> (n1, L)) mod p.
+
+    b8: 8 signed planes at 8-bit spacing; a static +2^24 offset per plane
+    keeps the 16-bit column sums unsigned, and the closed-form constant
+    K*0x0101010101010101 is subtracted once after the fold (exact)."""
+    from tpufhe.ops.ntt_mxu import B8_FOLD_CORR, B8_FOLD_K, B8_PLANES
+
     bl, bh, p = consts
-    zero = jnp.zeros_like(take(0))
+    zero = jnp.zeros_like(take(0)).astype(jnp.uint32)
     cols = [zero] * 6
-    for b in range(B_PLANES):
+    n_planes = B8_PLANES if b8 else B_PLANES
+    spacing = 8 if b8 else DIGIT_BITS
+    for b in range(n_planes):
         cb = take(b)
+        if b8:
+            cb = (cb + jnp.int32(B8_FOLD_K)).astype(jnp.uint32)
+        else:
+            cb = cb.astype(jnp.uint32)
         d0 = cb & U32(0xFFFF)
         d1 = cb >> U32(16)
-        qc, rc = divmod(DIGIT_BITS * b, 16)
+        qc, rc = divmod(spacing * b, 16)
         cols[qc] = cols[qc] + (d0 << U32(rc))
         cols[qc + 1] = cols[qc + 1] + (d1 << U32(rc))
     v0, v1, v2 = u64.cols_to_limbs(cols, 3)
+    if b8:
+        # signed balanced data digits can make the true fold value T
+        # negative (|T| < p * 2^17 for contraction length <= 8*128); add
+        # the congruent-to-zero D = p << 17 alongside removing the static
+        # plane offset so the 96-bit value stays nonnegative
+        corr = B8_FOLD_CORR
+        d0 = p[0] << U32(17)
+        d1 = (p[0] >> U32(15)) | (p[1] << U32(17))
+        d2 = p[1] >> U32(15)
+        v0, v1, v2 = u64.mp_add((v0, v1, v2), (d0 + jnp.zeros_like(v0),
+                                               d1 + jnp.zeros_like(v1),
+                                               d2 + jnp.zeros_like(v2)))
+        v0, v1, v2 = u64.mp_sub(
+            (v0, v1, v2),
+            (U32(corr & 0xFFFFFFFF), U32((corr >> 32) & 0xFFFFFFFF),
+             U32(corr >> 64)),
+        )
     r = zq.lazy_reduce_u128((v0, v1, v2, jnp.zeros_like(v2)), bl, bh, p)
     if not lazy:
         r = zq.reduce1(r, p)
@@ -132,7 +176,15 @@ def _fold_slices(take, consts, lazy):
 
 def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
-                 inverse: bool):
+                 inverse: bool, b8: bool = False):
+    """Batched formulation: the bt batch rows of one cell are concatenated
+    into a SINGLE dot per stage — M1 contracts sublanes so rows stack on
+    lanes as (Ax*n1, bt*128); M2 contracts lanes so rows stack on sublanes
+    as (bt*n1, Ay*128). One (576, 576)@(576, bt*128)-shaped MXU op per
+    stage amortizes the weight-tile loads bt times better than bt separate
+    128-column dots (the per-row loop measured 21% MXU utilization; see
+    ROOFLINE.md). Integer arithmetic is order-independent here, so outputs
+    stay bit-identical to the per-row loop and ops/ntt_mxu.py."""
     li = pl.program_id(0)
     p = (scal_ref[li, 0], scal_ref[li, 1])
     bl = (scal_ref[li, 2], scal_ref[li, 3])
@@ -144,56 +196,99 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     twv = (tw_ref[0, 0, 0], tw_ref[0, 0, 1])
     tws = (tw_ref[0, 1, 0], tw_ref[0, 1, 1])
 
-    outs = []
-    for r in range(bt):
-        lo = x_ref[r, 0, 0]  # (n1, 128)
-        hi = x_ref[r, 0, 1]
-        if not inverse:
-            # stage 1: sublane contraction (M1)
-            x1 = _extract_sub(lo, hi, in_planes)  # (Ax*n1, 128)
-            c1 = jax.lax.dot_general(
-                m_sub, x1, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (B*n1, 128)
-            s = _fold_slices(
-                lambda b: c1[b * n1 : (b + 1) * n1].astype(jnp.uint32),
-                consts, lazy=True,
-            )
-            # twiddle (Shoup, output < 2p)
-            s = zq.lazy_mul_shoup(s, twv, tws, p)
-            # stage 2: lane contraction (M2)
-            x2 = _extract_lane(s[0], s[1], 9)  # (n1, 9*128)
-            c2 = jax.lax.dot_general(
-                x2, m_lane, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (n1, B*128)
-            out = _fold_slices(
-                lambda b: c2[:, b * 128 : (b + 1) * 128].astype(jnp.uint32),
-                consts, lazy=lazy,
-            )
-        else:
-            # inverse: lane contraction (M2b) first
-            x2 = _extract_lane(lo, hi, in_planes)  # (n1, Ax*128)
-            c2 = jax.lax.dot_general(
-                x2, m_lane, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            s = _fold_slices(
-                lambda b: c2[:, b * 128 : (b + 1) * 128].astype(jnp.uint32),
-                consts, lazy=True,
-            )
-            s = zq.lazy_mul_shoup(s, twv, tws, p)
-            x1 = _extract_sub(s[0], s[1], 9)  # (9*n1, 128)
-            c1 = jax.lax.dot_general(
-                m_sub, x1, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            out = _fold_slices(
-                lambda b: c1[b * n1 : (b + 1) * n1].astype(jnp.uint32),
-                consts, lazy=False,
-            )
-        outs.append(jnp.stack([out[0], out[1]], axis=0)[None, None])
-    o_ref[...] = jnp.concatenate(outs, axis=0)
+    # stage-2 planes: b8 after an in-kernel reduce1 makes the twiddled
+    # values canonical (< p < 2^62); otherwise 9 unsigned 7-bit planes
+    # cover the lazy (< 2p < 2^63) twiddle outputs
+    a2 = 8 if b8 else 9
+
+    if not inverse:
+        # stage 1 (M1, sublane contraction): rows lane-concatenated
+        x1 = jnp.concatenate(
+            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
+             for r in range(bt)],
+            axis=1,
+        )  # (Ax*n1, bt*128)
+        c1 = jax.lax.dot_general(
+            m_sub, x1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B*n1, bt*128)
+        s = _fold_slices(
+            lambda b: c1[b * n1 : (b + 1) * n1],
+            consts, lazy=True, b8=b8,
+        )
+        # twiddle (Shoup, output < 2p); tiles are loop-invariant constants
+        twv_t = (jnp.concatenate([twv[0]] * bt, axis=1),
+                 jnp.concatenate([twv[1]] * bt, axis=1))
+        tws_t = (jnp.concatenate([tws[0]] * bt, axis=1),
+                 jnp.concatenate([tws[1]] * bt, axis=1))
+        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+        if b8:
+            s = zq.reduce1(s, p)
+        # stage 2 (M2, lane contraction): rows sublane-concatenated
+        x2 = jnp.concatenate(
+            [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
+                           s[1][:, r * 128 : (r + 1) * 128], a2, b8)
+             for r in range(bt)],
+            axis=0,
+        )  # (bt*n1, a2*128)
+        c2 = jax.lax.dot_general(
+            x2, m_lane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (bt*n1, B*128)
+        out = _fold_slices(
+            lambda b: c2[:, b * 128 : (b + 1) * 128],
+            consts, lazy=lazy, b8=b8,
+        )
+        o_ref[...] = jnp.stack(
+            [out[0].reshape(bt, n1, 128), out[1].reshape(bt, n1, 128)],
+            axis=1,
+        )[:, None]
+    else:
+        # inverse: lane contraction (M2b) first, rows on sublanes
+        x2 = jnp.concatenate(
+            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
+             for r in range(bt)],
+            axis=0,
+        )  # (bt*n1, Ax*128)
+        c2 = jax.lax.dot_general(
+            x2, m_lane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (bt*n1, B*128)
+        s = _fold_slices(
+            lambda b: c2[:, b * 128 : (b + 1) * 128],
+            consts, lazy=True, b8=b8,
+        )
+        twv_t = (jnp.concatenate([twv[0]] * bt, axis=0),
+                 jnp.concatenate([twv[1]] * bt, axis=0))
+        tws_t = (jnp.concatenate([tws[0]] * bt, axis=0),
+                 jnp.concatenate([tws[1]] * bt, axis=0))
+        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+        if b8:
+            s = zq.reduce1(s, p)
+        # M1 stage: rows lane-concatenated
+        x1 = jnp.concatenate(
+            [_extract_sub(s[0][r * n1 : (r + 1) * n1],
+                          s[1][r * n1 : (r + 1) * n1], a2, b8)
+             for r in range(bt)],
+            axis=1,
+        )  # (a2*n1, bt*128)
+        c1 = jax.lax.dot_general(
+            m_sub, x1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B*n1, bt*128)
+        out = _fold_slices(
+            lambda b: c1[b * n1 : (b + 1) * n1],
+            consts, lazy=False, b8=b8,
+        )
+        o_ref[...] = jnp.stack(
+            [
+                jnp.stack([out[0][:, r * 128 : (r + 1) * 128]
+                           for r in range(bt)], axis=0),
+                jnp.stack([out[1][:, r * 128 : (r + 1) * 128]
+                           for r in range(bt)], axis=0),
+            ],
+            axis=1,
+        )[:, None]
 
 
 def _pick_bt(batch: int, n1: int) -> int:
@@ -208,8 +303,9 @@ def _pick_bt(batch: int, n1: int) -> int:
         while batch % bt:
             bt -= 1
         return bt
-    # Measured on v5e at N=8192/L=3/B=64: bt=2 -> 2498, bt=8 -> 2681,
-    # bt=16 -> 2632 mul+relin/s; prefer 8 when VMEM allows.
+    # Measured on v5e at N=8192/L=3/B=64 with batched per-stage dots and
+    # the fused Pallas scaler: bt=4 -> 4040, bt=8 -> 4079, bt=16 -> 3721
+    # mul+relin/s; prefer 8 when VMEM allows.
     budget = 12 * 1024 * 1024
     consts = (9 * n1) * (10 * n1) + (10 * 128) * (9 * 128) + 4 * n1 * 128 * 4
     per_row = n1 * 128 * 4 * 12 + n1 * 1152 * 2
@@ -222,14 +318,16 @@ def _pick_bt(batch: int, n1: int) -> int:
 
 @lru_cache(maxsize=None)
 def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
-               inverse: bool, interpret: bool):
+               inverse: bool, interpret: bool, b8: bool = False):
     bt = _pick_bt(batch, n1)
     grid = (k, batch // bt)
-    ax = in_planes if not inverse else 9
-    ay = 9 if not inverse else in_planes
+    a2 = 8 if b8 else 9
+    bp = 8 if b8 else B_PLANES
+    ax = in_planes if not inverse else a2
+    ay = a2 if not inverse else in_planes
 
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
-                     lazy=lazy, inverse=inverse)
+                     lazy=lazy, inverse=inverse, b8=b8)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -238,13 +336,13 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
             pl.BlockSpec((bt, 1, 2, n1, 128),
                          lambda li, bi, *_: (bi, li, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B_PLANES * n1, ax * n1),
+            pl.BlockSpec((1, bp * n1, ax * n1),
                          lambda li, bi, *_: (li, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 2, n1, 128),
                          lambda li, bi, *_: (li, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ay * 128, B_PLANES * 128),
+            pl.BlockSpec((1, ay * 128, bp * 128),
                          lambda li, bi, *_: (li, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -261,15 +359,16 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     )
 
 
-def mxu4_pallas(x, consts, lazy=False, inverse=False, interpret=False):
+def mxu4_pallas(x, consts, lazy=False, inverse=False, interpret=False,
+                b8=False):
     """Run the fused four-step kernel.
 
     x: (B, k, 2, n1, 128) uint32 lane-folded (B = flattened leading dims);
-    consts: build_mxu4_consts(plan, inverse, in_planes) tuple.
+    consts: build_mxu4_consts(plan, inverse, in_planes, b8) tuple.
     """
     m_sub, tw, m_lane, scal = consts
     batch, k, _, n1, _ = x.shape
     in_planes = (m_sub.shape[-1] // n1) if not inverse else (
         m_lane.shape[-2] // 128)
-    call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret)
+    call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret, b8)
     return call(scal, x, m_sub, tw, m_lane)

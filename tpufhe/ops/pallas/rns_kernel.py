@@ -1,0 +1,309 @@
+"""Fused HPS RNS scaler as a single Pallas TPU kernel.
+
+The XLA-graph MXU path (ops/rns.py, scale() with use_mxu) materializes the
+full digit-plane product tensor C — (..., R, S, L) int32 with R up to ~81
+rows, i.e. hundreds of MB per mul+relin application — through HBM between
+the einsum and its ~40 fold/multiprecision consumers. This kernel keeps
+one (batch-rows, sublane-tile) cell entirely in VMEM:
+
+    extract digit planes -> ONE int8 MXU dot -> 16-bit column folds
+    -> 256-bit v/w fixed-point arithmetic -> per-output-modulus
+    Barrett/Shoup accumulation -> write
+
+The scaler contraction is pointwise in the coefficient, so the weight
+matrix is delta-expanded over the sublane tile: W[(r, s1), (a, i, s2)] =
+w[r, a, i] * delta(s1, s2) with s in [0, st). That wastes a factor ~st of
+MXU MACs on structural zeros, but the scaler's matmul volume is ~2% of
+the NTT's (ROOFLINE.md), so the absolute cost is negligible next to the
+HBM round trips it removes — and every fold keeps the native (8, 128)
+VPU tile shape, which a flat (1, N) arrangement would destroy.
+
+Bit-exactness: identical digit planes, fold bounds, and Barrett/Shoup
+formulas as ops/rns.py scale(); all-integer arithmetic, so results are
+bit-identical to the scale_host oracle (tested in tests/test_rns_pallas.py).
+
+Reference behavior: fhe.rs crates/fhe-math/src/rns/scaler.rs:249-352.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpufhe.ops import u64, zq
+from tpufhe.ops.ntt_mxu import DIGIT_BITS, DIGIT_MASK, MAT_PLANES
+from tpufhe.ops.u64 import U32
+
+_THETA_DIGITS16 = 8  # thetas < 2^128: eight 16-bit digits
+
+
+def build_scaler_consts(scaler, starting_index: int, size: int, st: int,
+                        in_planes: int):
+    """Delta-expanded weight matrix + per-output-modulus scalar table.
+
+    Returns (w_delta, scal):
+      w_delta (R*st, in_planes*k_in*st) int8 — rows are
+        [theta_garner fold rows s=0..rows_t-1]
+        [theta_omega fold rows, signed]          (only if factor != 1)
+        [omega planes, b-major then j_local]     (MAT_PLANES * size rows)
+      scal (size, 12) uint32 — per output modulus j:
+        p, barrett_lo, barrett_hi, gamma, gamma_shoup, 2p as lo/hi pairs.
+    """
+    k_in = scaler._k_in
+    tp = scaler._THETA_PLANES
+    rows_t = in_planes + tp - 1
+
+    def theta_rows(vals, signs=None):
+        w = np.zeros((rows_t, in_planes, k_in), dtype=np.int8)
+        for i, x in enumerate(vals):
+            sgn = -1 if (signs is not None and signs[i]) else 1
+            for a in range(in_planes):
+                for b in range(tp):
+                    d = (int(x) >> (DIGIT_BITS * b)) & DIGIT_MASK
+                    w[a + b, a, i] = sgn * d
+        return w
+
+    blocks = [theta_rows(scaler.theta_garner)]
+    if not scaler.factor.is_one:
+        blocks.append(
+            theta_rows(scaler.theta_omega, scaler.theta_omega_sign))
+    w_om = np.zeros((MAT_PLANES, size, in_planes, k_in), dtype=np.int8)
+    for jl in range(size):
+        j = starting_index + jl
+        p = scaler.to_ctx.moduli[j].p
+        for i in range(k_in):
+            for a in range(in_planes):
+                m = (scaler.omega[j][i] << (DIGIT_BITS * a)) % p
+                for b in range(MAT_PLANES):
+                    w_om[b, jl, a, i] = (m >> (DIGIT_BITS * b)) & DIGIT_MASK
+    blocks.append(w_om.reshape(MAT_PLANES * size, in_planes, k_in))
+    w = np.concatenate(blocks, axis=0)  # (R, in_planes, k_in)
+    r_tot = w.shape[0]
+
+    # delta-expansion over the sublane tile
+    w_delta = np.zeros((r_tot, st, in_planes * k_in, st), dtype=np.int8)
+    flat = w.reshape(r_tot, in_planes * k_in)
+    for s in range(st):
+        w_delta[:, s, :, s] = flat
+    w_delta = w_delta.reshape(r_tot * st, in_planes * k_in * st)
+
+    def pair(x: int):
+        return (int(x) & 0xFFFFFFFF, (int(x) >> 32) & 0xFFFFFFFF)
+
+    scal = np.zeros((size, 12), dtype=np.uint32)
+    for jl in range(size):
+        j = starting_index + jl
+        q = scaler.to_ctx.moduli[j]
+        vals = (pair(q.p) + pair(q.barrett_lo) + pair(q.barrett_hi)
+                + pair(scaler.gamma[j]) + pair(scaler.gamma_shoup[j])
+                + pair(2 * q.p))
+        scal[jl] = vals
+    return np.ascontiguousarray(w_delta), scal
+
+
+def _fold_cols(planes, n_cols):
+    """Same 16-bit column fold as RnsScaler._fold_cols, on 2D tiles."""
+    zero = jnp.zeros_like(planes[0])
+    cols = [zero] * n_cols
+    for s, cb in enumerate(planes):
+        d0 = cb & U32(0xFFFF)
+        d1 = cb >> U32(16)
+        qc, rc = divmod(DIGIT_BITS * s, 16)
+        cols[qc] = cols[qc] + (d0 << U32(rc))
+        cols[qc + 1] = cols[qc + 1] + (d1 << U32(rc))
+    return cols
+
+
+def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
+                  k_in: int, size: int, in_planes: int, rows_t: int,
+                  factor_one: bool, tg_shift: int, tgamma_digits: tuple,
+                  tgamma_sign: bool):
+    # X: (in_planes*k_in*st, bt*128) int8 — (a, i, s) on sublanes to match
+    # the delta-expanded weight's column order; batch rows on lanes.
+    cols_x = []
+    for r in range(bt):
+        blocks = []
+        for a in range(in_planes):
+            sh = DIGIT_BITS * a
+            for i in range(k_in):
+                lo = x_ref[r, i, 0]  # (st, 128)
+                hi = x_ref[r, i, 1]
+                if sh < 32:
+                    v = lo >> U32(sh)
+                    if sh + DIGIT_BITS > 32:
+                        v = v | (hi << U32(32 - sh))
+                else:
+                    v = hi >> U32(sh - 32)
+                blocks.append((v & U32(DIGIT_MASK)).astype(jnp.int8))
+        cols_x.append(jnp.concatenate(blocks, axis=0))
+    x1 = jnp.concatenate(cols_x, axis=1)
+    c = jax.lax.dot_general(
+        w_ref[...], x1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (R*st, bt*128)
+
+    def crow(r):
+        return c[r * st : (r + 1) * st]  # (st, bt*128)
+
+    zero = jnp.zeros((st, bt * 128), jnp.uint32)
+
+    # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
+    cols = _fold_cols(
+        [crow(s).astype(jnp.uint32) for s in range(rows_t)], 15)
+    acc = u64.cols_to_limbs(cols, 7)
+    acc = u64.mp_shr(acc, tg_shift - 1)
+    s4 = acc[:4]
+    half = u64.mp_shr(s4, 1)
+    v = u64.mp_add(half, (s4[0] & U32(1), zero, zero, zero))
+
+    # --- step 2: w (only when the factor is not one) ---
+    w_sign = None
+    w_pairs = None
+    if not factor_one:
+        s2 = [crow(rows_t + s) for s in range(rows_t)]
+        pos_cols = _fold_cols(
+            [jnp.maximum(x, 0).astype(jnp.uint32) for x in s2], 17)
+        neg_cols = _fold_cols(
+            [jnp.maximum(-x, 0).astype(jnp.uint32) for x in s2], 17)
+        vd = u64.digits16((v[0], v[1])) + u64.digits16((v[2], v[3]))
+        u64.col_accumulate(
+            pos_cols if tgamma_sign else neg_cols, vd, list(tgamma_digits))
+        pos = u64.cols_to_limbs(pos_cols, 8)
+        neg = u64.cols_to_limbs(neg_cols, 8)
+        s = u64.mp_sub(pos, neg)
+        w_sign = ((s[5] >> U32(31)) | s[6] | s[7]) != U32(0)
+        s_not = tuple(~x for x in s)
+        neg_shift = u64.mp_shr(s_not, 126)[:4]
+        neg_p1 = u64.mp_add(
+            neg_shift, (jnp.ones_like(zero), zero, zero, zero))
+        w_neg = u64.mp_shr(neg_p1, 1)
+        pos_shift = u64.mp_shr(s, 126)[:4]
+        pos_half = u64.mp_shr(pos_shift, 1)
+        w_pos = u64.mp_add(
+            pos_half, (pos_shift[0] & U32(1), zero, zero, zero))
+        w_pairs = tuple(
+            jnp.where(w_sign, a, b) for a, b in zip(w_neg, w_pos))
+
+    # --- step 3: per-output-modulus accumulation (scalar consts) ---
+    ofs = rows_t * (1 if factor_one else 2)
+    for j in range(size):
+        p = (scal_ref[j, 0], scal_ref[j, 1])
+        bl = (scal_ref[j, 2], scal_ref[j, 3])
+        bh = (scal_ref[j, 4], scal_ref[j, 5])
+        gam = (scal_ref[j, 6], scal_ref[j, 7])
+        gs = (scal_ref[j, 8], scal_ref[j, 9])
+        p2 = (scal_ref[j, 10], scal_ref[j, 11])
+
+        v_red = zq.reduce_u128(v, bl, bh, p)
+        t0 = zq.lazy_mul_shoup(v_red, gam, gs, p)
+        y = u64.sub64(p2, t0)
+        acc128 = (y[0], y[1], zero, zero)
+        if not factor_one:
+            w_lazy = zq.lazy_reduce_u128(w_pairs, bl, bh, p)
+            neg_w = u64.sub64(p2, w_lazy)
+            term = (jnp.where(w_sign, neg_w[0], w_lazy[0]),
+                    jnp.where(w_sign, neg_w[1], w_lazy[1]))
+            acc128 = u64.mp_add(acc128, (term[0], term[1], zero, zero))
+        omega_planes = [
+            crow(ofs + b * size + j).astype(jnp.uint32)
+            for b in range(MAT_PLANES)
+        ]
+        cols6 = _fold_cols(omega_planes, 6)
+        l0, l1, l2 = u64.cols_to_limbs(cols6, 3)
+        o_term = zq.lazy_reduce_u128(
+            (l0, l1, l2, jnp.zeros_like(l2)), bl, bh, p)
+        acc128 = u64.mp_add(acc128, (o_term[0], o_term[1], zero, zero))
+        out = zq.reduce_u128(acc128, bl, bh, p)
+        for r in range(bt):
+            o_ref[r, j, 0] = out[0][:, r * 128 : (r + 1) * 128]
+            o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
+
+
+@lru_cache(maxsize=None)
+def _scale_call(n_rows: int, n_sub: int, st: int, bt: int, k_in: int,
+                size: int, in_planes: int, rows_t: int, r_tot: int,
+                factor_one: bool, tg_shift: int, tgamma_digits: tuple,
+                tgamma_sign: bool, interpret: bool):
+    kernel = partial(
+        _scale_kernel, st=st, bt=bt, k_in=k_in, size=size,
+        in_planes=in_planes, rows_t=rows_t, factor_one=factor_one,
+        tg_shift=tg_shift, tgamma_digits=tgamma_digits,
+        tgamma_sign=tgamma_sign,
+    )
+    grid = (n_rows // bt, n_sub // st)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, k_in, 2, st, 128),
+                         lambda bi, si, *_: (bi, 0, 0, si, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_tot * st, in_planes * k_in * st),
+                         lambda bi, si, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, size, 2, st, 128),
+                               lambda bi, si, *_: (bi, 0, 0, si, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rows, size, 2, n_sub, 128), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+
+def rns_scale_pallas(x, scaler, starting_index: int, size: int,
+                     in_planes: int = 10, interpret: bool = False):
+    """Fused scaler over lane-folded residues.
+
+    x: (..., k_in, 2, S, 128) uint32; returns (..., size, 2, S, 128).
+    Callers must guarantee inputs < 2^(7*in_planes).
+    """
+    import os
+
+    lead = x.shape[:-4]
+    k_in, _, n_sub, lanes = x.shape[-4:]
+    assert lanes == 128
+    key = (starting_index, size, in_planes)
+    cache = getattr(scaler, "_pallas_consts", None)
+    if cache is None:
+        cache = scaler._pallas_consts = {}
+    st = int(os.environ.get("TPUFHE_RNS_ST", 8))
+    if cache.get("st") != st:
+        cache.clear()
+        cache["st"] = st
+    if key not in cache:
+        cache[key] = build_scaler_consts(
+            scaler, starting_index, size, st, in_planes)
+    w_delta, scal = cache[key]
+    r_tot = w_delta.shape[0] // st
+
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    xb = x.reshape((n_rows, k_in, 2, n_sub, 128))
+    # measured on v5e (N=8192/L=3/B=64 headline): bt=2 -> 4041,
+    # bt=4 -> 4079, bt=8 -> 4115 mul+relin/s
+    bt = int(os.environ.get("TPUFHE_RNS_BT", 8))
+    while n_rows % bt:
+        bt -= 1
+    rows_t = in_planes + scaler._THETA_PLANES - 1
+    tg_digits = tuple(
+        (int(scaler.theta_gamma) >> (16 * i)) & 0xFFFF
+        for i in range(_THETA_DIGITS16)
+    )
+    call = _scale_call(
+        n_rows, n_sub, st, bt, k_in, size, in_planes, rows_t, r_tot,
+        bool(scaler.factor.is_one), int(scaler.theta_garner_shift),
+        tg_digits, bool(scaler.theta_gamma_sign), interpret,
+    )
+    out = call(scal, xb, w_delta)
+    return out.reshape(lead + (size, 2, n_sub, 128))

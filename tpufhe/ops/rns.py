@@ -35,6 +35,28 @@ _M64 = (1 << 64) - 1
 _M128 = (1 << 128) - 1
 
 
+def _pallas_rns_on() -> tuple[bool, bool]:
+    """(enabled, interpret) for the fused Pallas scaler kernel.
+
+    TPUFHE_PALLAS_RNS=0 opts out, =1 forces (interpret mode off-TPU for
+    parity tests). Default: on for TPU backends — the kernel keeps the
+    digit-plane product tensor in VMEM instead of round-tripping hundreds
+    of MB of int32 planes through HBM (see ops/pallas/rns_kernel.py).
+    """
+    flag = os.environ.get("TPUFHE_PALLAS_RNS", "")
+    if flag == "0":
+        return False, False
+    try:
+        import jax as _jax
+
+        tpu = _jax.default_backend() == "tpu"
+    except Exception:
+        return False, False
+    if flag == "1":
+        return True, not tpu
+    return tpu, False
+
+
 def _mxu_rns_ok(k_in: int) -> bool:
     """Route wide-path scaling through the int8 digit-plane matmul.
 
@@ -433,6 +455,19 @@ class RnsScaler:
         narrow = rests.shape[-3] == 1
         assert not narrow or self._narrow_ok
         c = self._device_consts
+
+        # fused Pallas kernel (TPU default): residues are canonical
+        # (< p < 2^62), so 9 digit planes cover every input
+        if not narrow and size > 0:
+            on, interp = _pallas_rns_on()
+            st = int(os.environ.get("TPUFHE_RNS_ST", 8))
+            if on and rests.shape[-2] % st == 0:
+                from tpufhe.ops.pallas.rns_kernel import rns_scale_pallas
+
+                return rns_scale_pallas(
+                    rests, self, starting_index, size, in_planes=9,
+                    interpret=interp,
+                )
 
         use_mxu = not narrow and _mxu_rns_ok(k_in)
         C = rows_t = None

@@ -292,16 +292,17 @@ class _DeviceConsts:
             self._mxu_plans[key] = MxuNttPlan.new(self._ctx.ops[sl])
         return self._mxu_plans[key]
 
-    def mxu4_consts(self, sl: slice, inverse: bool, in_planes: int):
+    def mxu4_consts(self, sl: slice, inverse: bool, in_planes: int,
+                    b8: bool = False):
         """Cached fused-kernel constants (pallas/mxu_ntt_kernel.py)."""
-        key = (sl.start, sl.stop, sl.step, inverse, in_planes)
+        key = (sl.start, sl.stop, sl.step, inverse, in_planes, b8)
         if not hasattr(self, "_mxu4_consts"):
             self._mxu4_consts = {}
         if key not in self._mxu4_consts:
             from tpufhe.ops.pallas.mxu_ntt_kernel import build_mxu4_consts
 
             self._mxu4_consts[key] = build_mxu4_consts(
-                self.mxu_plan(sl), inverse, in_planes)
+                self.mxu_plan(sl), inverse, in_planes, b8)
         return self._mxu4_consts[key]
 
     def mxu_plan32(self, sl: slice):
@@ -380,6 +381,14 @@ def _mxu_pallas_ok(ctx: Context) -> bool:
         return False
 
 
+def _mxu_b8_on() -> bool:
+    """Balanced 8-bit digit planes in the fused kernel (canonical inputs
+    only; see ntt_mxu.py B8 notes): 8x8 instead of 9x9 plane products.
+    TPUFHE_MXU_B8=1 opts in (bit-exact in interpret mode; not yet
+    A/B-measured on the real chip — flip the default once it is)."""
+    return os.environ.get("TPUFHE_MXU_B8", "") == "1"
+
+
 def _mxu_ok(ctx: Context) -> bool:
     """Route wide-limb NTTs through the four-step MXU path.
 
@@ -447,11 +456,15 @@ def ntt_forward_any(ctx: Context, coeffs, lazy: bool = False,
     if _mxu_pallas_ok(ctx):
         from tpufhe.ops.pallas.mxu_ntt_kernel import mxu4_pallas
 
-        in_planes = -((-min(in_bits, 63)) // 7) if in_bits < 64 else 10
-        consts = d.mxu4_consts(sl, False, in_planes)
+        b8 = in_bits <= 62 and _mxu_b8_on()
+        if b8:
+            in_planes = 8
+        else:
+            in_planes = -((-min(in_bits, 63)) // 7) if in_bits < 64 else 10
+        consts = d.mxu4_consts(sl, False, in_planes, b8)
         lead = coeffs.shape[:-4]
         x = coeffs.reshape((-1,) + coeffs.shape[-4:])
-        out = mxu4_pallas(x, consts, lazy=lazy)
+        out = mxu4_pallas(x, consts, lazy=lazy, b8=b8)
         return out.reshape(lead + out.shape[-4:])
     if _mxu_ok(ctx):
         from tpufhe.ops.ntt_mxu import forward_mxu
@@ -502,11 +515,15 @@ def ntt_backward_any(ctx: Context, coeffs, in_bits: int = 64):
     if _mxu_pallas_ok(ctx):
         from tpufhe.ops.pallas.mxu_ntt_kernel import mxu4_pallas
 
-        in_planes = -((-min(in_bits, 63)) // 7) if in_bits < 64 else 10
-        consts = d.mxu4_consts(slice(None), True, in_planes)
+        b8 = in_bits <= 62 and _mxu_b8_on()
+        if b8:
+            in_planes = 8
+        else:
+            in_planes = -((-min(in_bits, 63)) // 7) if in_bits < 64 else 10
+        consts = d.mxu4_consts(slice(None), True, in_planes, b8)
         lead = coeffs.shape[:-4]
         x = coeffs.reshape((-1,) + coeffs.shape[-4:])
-        out = mxu4_pallas(x, consts, inverse=True)
+        out = mxu4_pallas(x, consts, inverse=True, b8=b8)
         return out.reshape(lead + out.shape[-4:])
     if _mxu_ok(ctx):
         from tpufhe.ops.ntt_mxu import backward_mxu
