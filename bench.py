@@ -6,8 +6,8 @@ Measures all five tracked configs of BASELINE.md (VERDICT r1 item 5):
   #3 ct-mul + relin           N=8192,  L=3   <- the north-star headline
   #4 Galois rotation          N=8192,  L=4
   #5 PIR-style mul+relin      N=16384, L=6
-plus (optionally, BENCH_SCALING=1) a 1->8 virtual-CPU-device scaling
-efficiency number from benches/scaling.py.
+plus (default on, BENCH_SCALING=0 disables) a 1->8 virtual-CPU-device
+scaling efficiency number from benches/scaling.py.
 
 Prints one JSON line per config; the HEADLINE (#3) runs and prints
 FIRST (so a driver timeout still captures it) and is re-emitted as the
@@ -127,11 +127,22 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
 
     # donate the chained operand buffers: XLA may alias them into the
     # outputs instead of copying (the trace shows ~24% blocking DMA)
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def prog(a0, a1, b0, b1):
-        for _ in range(inner):
-            a0, a1 = fn(a0, a1, b0, b1)
-        return a0, a1
+    if os.environ.get("BENCH_LOOP", "") == "1":
+        # lax.fori_loop chain: the app body compiles ONCE instead of
+        # `inner` unrolled copies (same serial data dependence, ~inner x
+        # faster XLA compiles; A/B throughput vs the unrolled chain)
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def prog(a0, a1, b0, b1):
+            def body(_, c):
+                return fn(c[0], c[1], b0, b1)
+
+            return jax.lax.fori_loop(0, inner, body, (a0, a1))
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def prog(a0, a1, b0, b1):
+            for _ in range(inner):
+                a0, a1 = fn(a0, a1, b0, b1)
+            return a0, a1
 
     out = prog(*arrs)
     _sync(out)
@@ -328,7 +339,7 @@ def main():
                 fn()
             except Exception as e:
                 _emit(f"failed_{name}", -1.0, "error", error=str(e)[:160])
-        if os.environ.get("BENCH_SCALING", "0") == "1" and within_budget():
+        if os.environ.get("BENCH_SCALING", "1") == "1" and within_budget():
             bench_scaling()
 
         # re-emit the headline as the final line

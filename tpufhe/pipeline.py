@@ -71,6 +71,47 @@ def _ksk_consts(ksk):
     return c0, c1
 
 
+def _pallas_tensor_on(ctx) -> tuple[bool, bool]:
+    """(enabled, interpret) for the fused Pallas tensor-product kernel.
+
+    TPUFHE_PALLAS_TENSOR=1 opts in (interpret mode off-TPU for parity
+    tests). Opt-in until the on-chip A/B (benches/ab_r2c.sh) decides the
+    default — one pass over the four operand polys instead of XLA's
+    per-output fusions.
+    """
+    import os
+
+    if ctx.narrow or ctx.degree % 128:
+        return False, False
+    if os.environ.get("TPUFHE_PALLAS_TENSOR", "") != "1":
+        return False, False
+    try:
+        tpu = jax.default_backend() == "tpu"
+    except Exception:
+        tpu = False
+    return True, not tpu
+
+
+def _tensor_for(ctx):
+    """(a0, a1, b0, b1) -> stacked (3, ...) tensor product (c0, c1, c2)."""
+    mul_m, add_m = _ops_for(ctx)
+    on, interp = _pallas_tensor_on(ctx)
+    if on:
+        from tpufhe.ops.pallas.tensor_kernel import tensor_product_pallas
+
+        def tensor(a0, a1, b0, b1):
+            return tensor_product_pallas(ctx, a0, a1, b0, b1,
+                                         interpret=interp)
+    else:
+        def tensor(a0, a1, b0, b1):
+            c0 = mul_m(a0, b0)
+            c1 = add_m(mul_m(a0, b1), mul_m(a1, b0))
+            c2 = mul_m(a1, b1)
+            return jnp.stack([c0, c1, c2])
+
+    return tensor
+
+
 def _ops_for(ctx):
     """(mul, add) elementwise mod-q closures over (..., k, 2|1, S, L)."""
     d = ctx.dev
@@ -151,11 +192,19 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
     digits = jnp.moveaxis(c2_pb, -4, 0)[..., None, :, :, :]
     dp = _pairs(digits)
     r = zq.lazy_reduce(dp, bl, bh, p)  # broadcasts limb axis to k
+    in_bits = 63
+    from tpufhe.ops.rq import _mxu_b8_on
+
+    if _mxu_b8_on():
+        # one cheap conditional subtraction buys the 8-plane balanced
+        # digit mode in the lifted forward NTT (9 -> 8 data planes)
+        r = zq.reduce1(r, p)
+        in_bits = 62
     lifted = _stack(r)
     lifted = jnp.broadcast_to(
         lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + lane_shape(ctx.degree)
     )
-    lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=63)  # ONE call
+    lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=in_bits)  # ONE call
 
     acc0 = None
     acc1 = None
@@ -188,7 +237,7 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
     ext_rns = mp.extender.rns_scaler
     down_rns = mp.down_scaler.rns_scaler
     assert mp.extender.number_common_moduli == k
-    mul_m, add_m = _ops_for(ctx_mul)
+    tensor_m = _tensor_for(ctx_mul)
     _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
@@ -202,11 +251,8 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
-        # tensor product (ops/mod.rs:318-325)
-        c0 = mul_m(a0e, b0e)
-        c1 = add_m(mul_m(a0e, b1e), mul_m(a1e, b0e))
-        c2 = mul_m(a1e, b1e)
-        t = jnp.stack([c0, c1, c2])
+        # tensor product (ops/mod.rs:318-325), parts pre-stacked
+        t = tensor_m(a0e, a1e, b0e, b1e)
 
         # down-scale by t/q (ops/mod.rs:326-332)
         t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
@@ -230,7 +276,7 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
     k, k_mul = ctx.k, ctx_mul.k
     ext_rns = mp.extender.rns_scaler
     down_rns = mp.down_scaler.rns_scaler
-    mul_m, add_m = _ops_for(ctx_mul)
+    tensor_m = _tensor_for(ctx_mul)
     _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
 
@@ -243,11 +289,8 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e = ext[0], ext[1]
 
-        c0 = mul_m(a0e, a0e)
-        c1 = mul_m(a0e, a1e)
-        c1 = add_m(c1, c1)
-        c2 = mul_m(a1e, a1e)
-        t = jnp.stack([c0, c1, c2])
+        # square fast-path: c1 = 2*a0*a1 via the same fused tensor kernel
+        t = tensor_m(a0e, a1e, a0e, a1e)
 
         t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)
