@@ -49,6 +49,34 @@ class Ciphertext:
     def truncate(self, n: int):
         self.c = self.c[:n]
 
+    # operator parity with the reference (ops/mod.rs impl Add/Sub/Neg/Mul
+    # for Ciphertext); lazy imports avoid the ciphertext <-> ops cycle
+    def __add__(self, other):
+        from tpufhe.bfv import ops
+
+        if isinstance(other, Ciphertext):
+            return ops.ct_add(self, other)
+        return ops.ct_add_pt(self, other)
+
+    def __sub__(self, other):
+        from tpufhe.bfv import ops
+
+        if isinstance(other, Ciphertext):
+            return ops.ct_sub(self, other)
+        return ops.ct_sub_pt(self, other)
+
+    def __neg__(self):
+        from tpufhe.bfv import ops
+
+        return ops.ct_neg(self)
+
+    def __mul__(self, other):
+        from tpufhe.bfv import ops
+
+        if isinstance(other, Ciphertext):
+            return ops.ct_mul(self, other)
+        return ops.ct_mul_pt(self, other)
+
     def max_switchable_level(self) -> int:
         return self.par.max_level()
 

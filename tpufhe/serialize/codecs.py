@@ -326,8 +326,13 @@ def deserialize_rgsw(data: bytes, par) -> RGSWCiphertext:
 
 
 def serialize_parameters(par: BfvParameters) -> bytes:
+    # Field order matches prost's encode_raw: regular fields in number
+    # order, then the oneof LAST (prost-build places oneofs after the
+    # struct's scalar fields), i.e. 1, 2, 4, then 3|5. Parsing is
+    # order-independent either way (proto3).
     out = emit_varint_field(1, par.polynomial_degree)
     out += emit_packed_varints(2, par.moduli)
+    out += emit_varint_field(4, par.variance)
     t = par.plaintext.value
     if par.plaintext.is_small:
         # oneof: always emitted, even when zero
@@ -337,7 +342,6 @@ def serialize_parameters(par: BfvParameters) -> bytes:
     else:
         nbytes = (t.bit_length() + 7) // 8
         out += emit_bytes_field(5, t.to_bytes(nbytes, "little"), always=True)
-    out += emit_varint_field(4, par.variance)
     return out
 
 
