@@ -48,6 +48,54 @@ def test_tensor_kernel_parity(monkeypatch):
             unpack_u64(np.asarray(g)).astype(object), w)
 
 
+def test_tensor_kernel_karatsuba_parity(monkeypatch):
+    """TPUFHE_TENSOR_KARA=1: 3-mul Karatsuba form is bit-identical."""
+    monkeypatch.setenv("TPUFHE_TENSOR_KARA", "1")
+    ctx = _ctx()
+    from tpufhe.ops.pallas.tensor_kernel import tensor_product_pallas
+
+    packs, vals = zip(*[_rand_poly() for _ in range(4)])
+    a0, a1, b0, b1 = packs
+    va0, va1, vb0, vb1 = [v.astype(object) for v in vals]
+
+    got = tensor_product_pallas(ctx, a0, a1, b0, b1, interpret=True)
+    qcol = np.array(Q, dtype=object)[:, None]
+    want = [
+        (va0 * vb0) % qcol,
+        (va0 * vb1 + va1 * vb0) % qcol,
+        (va1 * vb1) % qcol,
+    ]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(
+            unpack_u64(np.asarray(g)).astype(object), w)
+
+
+def test_graph_karatsuba_parity(monkeypatch):
+    """The XLA-graph Karatsuba tensor stage (no Pallas) is bit-identical."""
+    import jax
+
+    from tpufhe.pipeline import _tensor_for
+
+    ctx = _ctx()
+    packs, vals = zip(*[_rand_poly() for _ in range(4)])
+    va0, va1, vb0, vb1 = [v.astype(object) for v in vals]
+
+    monkeypatch.setenv("TPUFHE_PALLAS_TENSOR", "0")
+    monkeypatch.setenv("TPUFHE_TENSOR_KARA", "1")
+    tensor = _tensor_for(ctx)
+    with jax.disable_jit():
+        got = tensor(*packs)
+    qcol = np.array(Q, dtype=object)[:, None]
+    want = [
+        (va0 * vb0) % qcol,
+        (va0 * vb1 + va1 * vb0) % qcol,
+        (va1 * vb1) % qcol,
+    ]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(
+            unpack_u64(np.asarray(g)).astype(object), w)
+
+
 def test_tensor_kernel_batched_odd_tile(monkeypatch):
     """Leading batch dims that don't divide the default tile."""
     ctx = _ctx()

@@ -31,7 +31,31 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufhe.ops import zq
 
 
-def _tensor_kernel(scal_ref, a0_ref, a1_ref, b0_ref, b1_ref, t_ref):
+def tensor_karatsuba(a0, a1, b0, b1, bl, bh, p):
+    """(c0, c1, c2) with THREE wide muls + THREE Barrett reduces.
+
+    Karatsuba identity on the middle part: since the 128-bit products
+    are exact integers, (a0+a1)(b0+b1) - a0*b0 - a1*b1 = a0*b1 + a1*b0
+    with no wraparound (a0+a1 < 2p < 2^63 so the cross product fits
+    u128, and the subtrahends are genuine sub-terms). Replaces the
+    4-mul/4-reduce schoolbook form; canonical outputs are bit-identical.
+    """
+    from tpufhe.ops import u64
+
+    t0 = u64.mul64_wide(a0, b0)
+    t2 = u64.mul64_wide(a1, b1)
+    sa = u64.add64(a0, a1)  # < 2^63: no overflow for p < 2^62
+    sb = u64.add64(b0, b1)
+    tm = u64.mul64_wide(sa, sb)
+    m1 = u64.mp_sub(u64.mp_sub(tm, t0), t2)  # exact, >= 0
+    c0 = zq.reduce_u128(t0, bl, bh, p)
+    c1 = zq.reduce_u128(m1, bl, bh, p)
+    c2 = zq.reduce_u128(t2, bl, bh, p)
+    return c0, c1, c2
+
+
+def _tensor_kernel(scal_ref, a0_ref, a1_ref, b0_ref, b1_ref, t_ref, *,
+                   kara: bool):
     """One (limb, batch-tile) cell: input blocks are (bt, 1, 2, S, 128)
     uint32; the output block is (3, bt, 1, 2, S, 128) — the stacked
     (c0, c1, c2) the down-scale iNTT consumes, written in place (no
@@ -47,12 +71,15 @@ def _tensor_kernel(scal_ref, a0_ref, a1_ref, b0_ref, b1_ref, t_ref):
 
     a0, a1, b0, b1 = pairs(a0_ref), pairs(a1_ref), pairs(b0_ref), pairs(b1_ref)
 
-    def mul(x, y):
-        return zq.mul_mod(x, y, bl, bh, p)
+    if kara:
+        c0, c1, c2 = tensor_karatsuba(a0, a1, b0, b1, bl, bh, p)
+    else:
+        def mul(x, y):
+            return zq.mul_mod(x, y, bl, bh, p)
 
-    c0 = mul(a0, b0)
-    c1 = zq.add_mod(mul(a0, b1), mul(a1, b0), p)
-    c2 = mul(a1, b1)
+        c0 = mul(a0, b0)
+        c1 = zq.add_mod(mul(a0, b1), mul(a1, b0), p)
+        c2 = mul(a1, b1)
 
     def planes(v):
         return jnp.stack([v[0], v[1]], axis=1)[:, None]
@@ -61,7 +88,8 @@ def _tensor_kernel(scal_ref, a0_ref, a1_ref, b0_ref, b1_ref, t_ref):
 
 
 @lru_cache(maxsize=None)
-def _tensor_call(k: int, batch: int, n_sub: int, bt: int, interpret: bool):
+def _tensor_call(k: int, batch: int, n_sub: int, bt: int, interpret: bool,
+                 kara: bool):
     grid = (k, batch // bt)
     blk = (bt, 1, 2, n_sub, 128)
     idx = lambda li, bi, *_: (bi, li, 0, 0, 0)
@@ -77,7 +105,7 @@ def _tensor_call(k: int, batch: int, n_sub: int, bt: int, interpret: bool):
     out_shape = jax.ShapeDtypeStruct((3, batch, k, 2, n_sub, 128),
                                      jnp.uint32)
     return pl.pallas_call(
-        _tensor_kernel,
+        partial(_tensor_kernel, kara=kara),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -114,7 +142,8 @@ def tensor_product_pallas(ctx, a0, a1, b0, b1, interpret: bool = False):
     bt = int(os.environ.get("TPUFHE_TENSOR_BT", 8))
     while n_rows % bt:
         bt -= 1
-    call = _tensor_call(k, n_rows, n_sub, bt, interpret)
+    kara = os.environ.get("TPUFHE_TENSOR_KARA", "") == "1"
+    call = _tensor_call(k, n_rows, n_sub, bt, interpret, kara)
     scal = jnp.asarray(_scal_table(ctx))
     t = call(scal, flat(a0), flat(a1), flat(b0), flat(b1))
     return t.reshape((3,) + lead + t.shape[2:])

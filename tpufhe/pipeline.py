@@ -94,14 +94,29 @@ def _pallas_tensor_on(ctx) -> tuple[bool, bool]:
 
 def _tensor_for(ctx):
     """(a0, a1, b0, b1) -> stacked (3, ...) tensor product (c0, c1, c2)."""
+    import os
+
     mul_m, add_m = _ops_for(ctx)
     on, interp = _pallas_tensor_on(ctx)
+    kara = (not ctx.narrow
+            and os.environ.get("TPUFHE_TENSOR_KARA", "") == "1")
     if on:
         from tpufhe.ops.pallas.tensor_kernel import tensor_product_pallas
 
         def tensor(a0, a1, b0, b1):
             return tensor_product_pallas(ctx, a0, a1, b0, b1,
                                          interpret=interp)
+    elif kara:
+        from tpufhe.ops.pallas.tensor_kernel import tensor_karatsuba
+
+        d = ctx.dev
+        p = _exp2(d.p)
+        bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+
+        def tensor(a0, a1, b0, b1):
+            c0, c1, c2 = tensor_karatsuba(
+                _pairs(a0), _pairs(a1), _pairs(b0), _pairs(b1), bl, bh, p)
+            return jnp.stack([_stack(c0), _stack(c1), _stack(c2)])
     else:
         def tensor(a0, a1, b0, b1):
             c0 = mul_m(a0, b0)
