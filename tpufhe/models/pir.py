@@ -76,70 +76,64 @@ def run_mulpir(database_size=64, elements_size=16, degree=64,
     (examples/mulpir.rs:163-208). Pass `report={}` to collect phase wall
     times and wire sizes (the reference prints these via timeit!/HumanBytes).
     """
-    import time as _time
+    from tpufhe.utils.obs import timeit
 
     if plaintext_modulus is None:
         from tpufhe.utils.primes import generate_prime
 
         plaintext_modulus = generate_prime(16, 2 * degree, 1 << 16)
-    _t0 = _time.perf_counter()
-    par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
-        degree, plaintext_modulus, moduli_sizes, database_size, elements_size,
-        seed,
-    )
+    with timeit("mulpir/setup", report, "setup_s"):
+        par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
+            degree, plaintext_modulus, moduli_sizes, database_size,
+            elements_size, seed,
+        )
     t = par.plaintext.value
     plaintext_nbits = t.bit_length() - 1
     if report is not None:
-        report["setup_s"] = _time.perf_counter() - _t0
         report["dims"] = (dim1, dim2)
 
     # client setup
-    _t0 = _time.perf_counter()
-    sk = SecretKey.random(par, rng)
-    level = max((dim1 + dim2 - 1).bit_length(), 1)
-    ek_expansion = (
-        EvaluationKeyBuilder(sk, ciphertext_level=1, evaluation_key_level=0)
-        .enable_expansion(level)
-        .build(rng)
-    )
-    rk = RelinearizationKey.new(sk, rng, ciphertext_level=1, key_level=1)
+    with timeit("mulpir/keygen", report, "keygen_s"):
+        sk = SecretKey.random(par, rng)
+        level = max((dim1 + dim2 - 1).bit_length(), 1)
+        ek_expansion = (
+            EvaluationKeyBuilder(sk, ciphertext_level=1,
+                                 evaluation_key_level=0)
+            .enable_expansion(level)
+            .build(rng)
+        )
+        rk = RelinearizationKey.new(sk, rng, ciphertext_level=1, key_level=1)
     if report is not None:
-        report["keygen_s"] = _time.perf_counter() - _t0
         report["ek_bytes"] = len(ek_expansion.to_bytes())
         report["rk_bytes"] = len(rk.to_bytes())
 
     # client query
     index = int(np.random.default_rng(seed).integers(0, database_size))
-    _t0 = _time.perf_counter()
-    query, level = _client_query(par, sk, rng, index, dim1, dim2, elements_size)
+    with timeit("mulpir/query", report, "query_s"):
+        query, level = _client_query(par, sk, rng, index, dim1, dim2,
+                                     elements_size)
     if report is not None:
-        report["query_s"] = _time.perf_counter() - _t0
         report["query_bytes"] = len(query.to_bytes())
 
     # server response
-    _t0 = _time.perf_counter()
-    expanded = ek_expansion.expands(query, dim1 + dim2)
+    with timeit("mulpir/expand", report, "expand_s"):
+        expanded = ek_expansion.expands(query, dim1 + dim2)
+    with timeit("mulpir/response", report, "response_s"):
+        query_vec = expanded[:dim1]
+        out = Ciphertext.zero(par)
+        for i, ci in enumerate(expanded[dim1:]):
+            column = preprocessed[i::dim2]
+            dot = dot_product_scalar(query_vec, column)
+            prod = ct_mul(dot, ci)
+            out = prod if not out.c else ct_add(out, prod)
+        rk.relinearizes(out)
+        out.switch_to_level(out.max_switchable_level())
     if report is not None:
-        report["expand_s"] = _time.perf_counter() - _t0
-        _t0 = _time.perf_counter()
-    query_vec = expanded[:dim1]
-    out = Ciphertext.zero(par)
-    for i, ci in enumerate(expanded[dim1:]):
-        column = preprocessed[i::dim2]
-        dot = dot_product_scalar(query_vec, column)
-        prod = ct_mul(dot, ci)
-        out = prod if not out.c else ct_add(out, prod)
-    rk.relinearizes(out)
-    out.switch_to_level(out.max_switchable_level())
-    if report is not None:
-        report["response_s"] = _time.perf_counter() - _t0
         report["response_bytes"] = len(out.to_bytes())
-        _t0 = _time.perf_counter()
 
     # client answer
-    pt = sk.try_decrypt(out)
-    if report is not None:
-        report["answer_s"] = _time.perf_counter() - _t0
+    with timeit("mulpir/answer", report, "answer_s"):
+        pt = sk.try_decrypt(out)
     values = np.asarray(pt.try_decode(Encoding.poly(out.level)))
     plaintext_bytes = transcode_to_bytes(values, plaintext_nbits)
     offset = index % number_elements_per_plaintext(
@@ -250,6 +244,11 @@ def main(argv=None):
     import argparse
     import time
 
+    from tpufhe.utils.obs import human_bytes, init_logging
+    from tpufhe.utils.runtime import configure
+
+    configure()
+    init_logging("info")
     ap = argparse.ArgumentParser(
         prog="python -m tpufhe.models.pir",
         description="Run a MulPIR or SealPIR retrieval end to end.",
@@ -282,7 +281,11 @@ def main(argv=None):
     print(f"{args.scheme} db={args.database_size}x{args.element_size}B "
           f"degree={args.degree}: {'OK' if ok else 'FAILED'} in {dt:.1f} s")
     for k, v in report.items():
-        print(f"  {k:14s} {v if not isinstance(v, float) else round(v, 3)}")
+        if k.endswith("_bytes"):
+            v = human_bytes(v)
+        elif isinstance(v, float):
+            v = round(v, 3)
+        print(f"  {k:14s} {v}")
     return 0 if ok else 1
 
 
