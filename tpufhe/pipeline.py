@@ -45,7 +45,6 @@ from tpufhe.ops.rq import (
     _exp2,
     _fold,
     _unfold,
-    lane_shape,
     ntt_backward_any,
     ntt_forward_any,
 )
@@ -160,12 +159,21 @@ def _ops_for(ctx):
     return mul, add
 
 
-def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
+def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
+                        const_slice=None):
     """Garner-decomposition key switch on power-basis coeffs (..., k, 2|1, S, L).
 
     Lifts every decomposition row in ONE lazy forward NTT, then accumulates
     sum_i d_i * ksk.c{0,1}_i with Shoup products (key_switching_key.rs:214-241).
+    `ntt_fwd` overrides the forward-NTT implementation and `const_slice`
+    maps full-degree constant arrays to the local coefficient block
+    (sequence-sharded pipelines; see parallel/seq_pipeline.py).
     """
+    if ntt_fwd is None:
+        ntt_fwd = ntt_forward_any
+    if const_slice is not None:
+        ksk_c0 = [(const_slice(v), const_slice(vs)) for v, vs in ksk_c0]
+        ksk_c1 = [(const_slice(v), const_slice(vs)) for v, vs in ksk_c1]
     d = ctx.dev
     k = ctx.k
 
@@ -180,9 +188,9 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
         r = zq32.reduce_u64_32(digits, jnp.zeros_like(digits), mu0, mu1, p32)
         lifted = r[..., None, :, :]
         lifted = jnp.broadcast_to(
-            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + lane_shape(ctx.degree)
+            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + c2_pb.shape[-2:]
         )
-        lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=63)  # ONE call
+        lifted = ntt_fwd(ctx, lifted, lazy=True, in_bits=63)  # ONE call
 
         acc0 = acc1 = None
         for i in range(k):
@@ -217,9 +225,9 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
         in_bits = 62
     lifted = _stack(r)
     lifted = jnp.broadcast_to(
-        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + lane_shape(ctx.degree)
+        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + c2_pb.shape[-2:]
     )
-    lifted = ntt_forward_any(ctx, lifted, lazy=True, in_bits=in_bits)  # ONE call
+    lifted = ntt_fwd(ctx, lifted, lazy=True, in_bits=in_bits)  # ONE call
 
     acc0 = None
     acc1 = None
@@ -235,13 +243,20 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1):
     return _stack(acc0), _stack(acc1)
 
 
-def make_mul_relin(par: BfvParameters, rk, level: int = 0):
-    """Jitted (a, b) -> a*b relinearized, on raw (..., k, 2, N) uint32 arrays.
+def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
+                         ntt_fwd=None, ntt_bwd=None, const_slice=None):
+    """Un-jitted (a0, a1, b0, b1) -> (c0, c1) multiply+relinearize step.
 
     Implements extend -> tensor -> down-scale (ops/mod.rs:259-341) followed
     by the garner-decomposition key switch (key_switching_key.rs:214-241)
-    in ONE XLA program with exactly 5 Pallas NTT calls.
+    as one traceable function. `ntt_fwd`/`ntt_bwd` override the transform
+    implementation (the sequence-sharded pipeline substitutes the
+    distributed four-step NTT; see parallel/seq_pipeline.py).
     """
+    if ntt_fwd is None:
+        ntt_fwd = ntt_forward_any
+    if ntt_bwd is None:
+        ntt_bwd = ntt_backward_any
     ctx_lvl = par.context_level_at(level)
     ctx = ctx_lvl.poly_context
     mp = ctx_lvl.mul_params()
@@ -259,10 +274,10 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
     def step(a0, a1, b0, b1):
         x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
         # extend to the multiplication basis (ops/mod.rs:307-317)
-        x_pb = ntt_backward_any(ctx, x, in_bits=62)
+        x_pb = ntt_bwd(ctx, x, in_bits=62)
         new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
-        new_rows = ntt_forward_any(ctx_mul, new_rows,
-                                   limb_slice=slice(k, k_mul), in_bits=62)
+        new_rows = ntt_fwd(ctx_mul, new_rows,
+                           limb_slice=slice(k, k_mul), in_bits=62)
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
@@ -270,15 +285,23 @@ def make_mul_relin(par: BfvParameters, rk, level: int = 0):
         t = tensor_m(a0e, a1e, b0e, b1e)
 
         # down-scale by t/q (ops/mod.rs:326-332)
-        t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
+        t_pb = ntt_bwd(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)  # power basis
-        c01 = ntt_forward_any(ctx, dsc[:2], in_bits=62)
+        c01 = ntt_fwd(ctx, dsc[:2], in_bits=62)
 
         # relinearize c2 (relinearization_key.rs:71-98)
-        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
+        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1,
+                                       ntt_fwd=ntt_fwd,
+                                       const_slice=const_slice)
         return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
-    return jax.jit(step)
+    return step
+
+
+def make_mul_relin(par: BfvParameters, rk, level: int = 0):
+    """Jitted (a, b) -> a*b relinearized, on raw (..., k, 2, N) uint32
+    arrays, in ONE XLA program with exactly 5 Pallas NTT calls."""
+    return jax.jit(build_mul_relin_step(par, rk, level))
 
 
 def make_square_relin(par: BfvParameters, rk, level: int = 0):
