@@ -15,4 +15,5 @@ run "tensor+kara" TPUFHE_PALLAS_TENSOR=1 TPUFHE_TENSOR_KARA=1
 run "tensor+kara+b8" TPUFHE_PALLAS_TENSOR=1 TPUFHE_TENSOR_KARA=1 TPUFHE_MXU_B8=1
 run "b8 only" TPUFHE_MXU_B8=1
 run "fori_loop chain (defaults)" BENCH_LOOP=1
+run "ntt in-place alias" TPUFHE_MXU4_ALIAS=1
 echo "=== done $(date +%H:%M:%S) ==="

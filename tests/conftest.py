@@ -22,6 +22,12 @@ if "xla_backend_optimization_level" not in flags:
     flags = (flags + " --xla_backend_optimization_level=0"
              " --xla_llvm_disable_expensive_passes=true"
              " --xla_cpu_use_thunk_runtime=false").strip()
+# This host has ONE core; the default multi-threaded Eigen pool spawns 8
+# spinning workers that multiply the cost of every eager dispatch (keygen
+# and reference paths) several-fold. Collectives on the virtual mesh were
+# verified to work single-threaded (psum + tiled all_to_all).
+if "xla_cpu_multi_thread_eigen" not in flags:
+    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

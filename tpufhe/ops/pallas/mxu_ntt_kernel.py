@@ -351,11 +351,22 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
                                memory_space=pltpu.VMEM),
     )
 
+    # TPUFHE_MXU4_ALIAS=1: alias the coefficient input buffer to the
+    # output (same shape/layout; each grid cell reads exactly the block
+    # it writes). Inside the chained bench program XLA can then update
+    # the ciphertext in place instead of staging a fresh HBM buffer —
+    # an A/B candidate against the 24% blocking-DMA share (ROOFLINE.md
+    # lever 4). Input index 1 = x (index 0 is the scalar-prefetch scal).
+    import os as _os
+
+    aliases = {1: 0} if _os.environ.get("TPUFHE_MXU4_ALIAS", "") == "1" \
+        else {}
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, k, 2, n1, 128), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
+        input_output_aliases=aliases,
     )
 
 
