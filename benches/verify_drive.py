@@ -11,7 +11,10 @@ Prints VERIFY OK / VERIFY FAIL as the last line. Wrap in `timeout 900`
 from __future__ import annotations
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("XLA_FLAGS", "")
 import numpy as np
