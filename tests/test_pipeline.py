@@ -79,8 +79,9 @@ def test_mul_relin_pipeline_batched_and_sharded():
     mesh = batch_limb_mesh(4, 2)
     fn = make_sharded_mul_relin(par, rk, mesh)
     args = [shard_ciphertext(mesh, x) for x in (a0, a1, b0, b1)]
-    with jax.disable_jit():
-        out0, out1 = fn(*args)
+    # jitted (VERDICT r2 item 10): the degree-16 program compiles in
+    # seconds at opt level 0, vs minutes of eager per-op dispatch
+    out0, out1 = fn(*args)
 
     # decrypt each batch element and check the product
     from tpufhe.bfv.ciphertext import Ciphertext
