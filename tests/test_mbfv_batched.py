@@ -15,6 +15,7 @@ from tpufhe.mbfv.batched import (
 from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
 
 NUM_PARTIES = 5
+RNG = np.random.default_rng(20260819)
 
 
 def setup(seed=1234, num_moduli=2, degree=16):
@@ -59,6 +60,51 @@ def test_batched_decryption_matches_object_api():
     )
     np.testing.assert_array_equal(
         np.asarray(pt_fused.try_decode(Encoding.poly())), vals
+    )
+
+
+def test_batched_relin_keygen_matches_object_api():
+    """Fused 2-round RelinKeyGen == per-party object protocol, bit-exact,
+    and the resulting key relinearizes a real product correctly."""
+    from tpufhe.mbfv import RelinKeyGenerator
+    from tpufhe.mbfv.batched import batched_relin_keygen
+
+    par, r, parties, _ = setup()
+    crp_vec = CommonRandomPoly.new_vec(par, r)
+
+    r1 = ChaCha8Rng(seed_from_u64(999))
+    gens = [RelinKeyGenerator(sk, crp_vec, r1) for sk in parties]
+    shares1 = [g.round_1(r1) for g in gens]
+    agg1 = aggregate(shares1)
+    shares2 = [g.round_2(agg1, r1) for g in gens]
+    rk_obj = aggregate(shares2)
+
+    r2 = ChaCha8Rng(seed_from_u64(999))
+    rk_fused = batched_relin_keygen(parties, crp_vec, r2)
+
+    for a, b in zip(rk_obj.ksk.c0, rk_fused.ksk.c0):
+        np.testing.assert_array_equal(np.asarray(a.coeffs),
+                                      np.asarray(b.coeffs))
+    for a, b in zip(rk_obj.ksk.c1, rk_fused.ksk.c1):
+        np.testing.assert_array_equal(np.asarray(a.coeffs),
+                                      np.asarray(b.coeffs))
+
+    # end-to-end: the fused key relinearizes a product of encryptions
+    # under the joint key (sum of shares)
+    pk = batched_public_key(parties, CommonRandomPoly.new(par, r), r)
+    t = par.plaintext.value
+    va = RNG.integers(0, t, size=par.degree(), dtype=np.uint64)
+    vb = RNG.integers(0, t, size=par.degree(), dtype=np.uint64)
+    ca = pk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
+    cb = pk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
+    from tpufhe.bfv.ops import ct_mul
+
+    prod = ct_mul(ca, cb)
+    rk_fused.relinearizes(prod)
+    pt = batched_decryption(parties, prod, r)
+    want = ((va.astype(object) * vb.astype(object)) % t).astype(np.uint64)
+    np.testing.assert_array_equal(
+        np.asarray(pt.try_decode(Encoding.simd())), want
     )
 
 
