@@ -136,8 +136,13 @@ def test_ct_mul_and_relinearize():
 
     rk = RelinearizationKey.new(sk, r)
     prod2 = ct_mul(ca, cb)
+    noise_before = sk.measure_noise(prod2)
     rk.relinearizes(prod2)
     assert len(prod2) == 2
+    # noise-budget bound (key_switching_key.rs:476-504 pattern): the
+    # key-switch may add at most ~70 bits over the tensored ciphertext,
+    # so a regression that still decrypts at toy params is caught
+    assert sk.measure_noise(prod2) <= noise_before + 70
     got = np.asarray(sk.try_decrypt(prod2).try_decode(Encoding.simd()))
     np.testing.assert_array_equal(got, want)
 
@@ -253,15 +258,20 @@ def test_rotations_and_inner_sum():
     )
     pt, vals = random_pt(par, Encoding.simd())
     ct = sk.try_encrypt(pt, r)
+    noise_fresh = sk.measure_noise(ct)
 
     # row rotation: swap the two rows
     rot = ek.rotates_rows(ct)
+    # Galois key switch adds at most ~70 bits of noise
+    # (key_switching_key.rs:476-504 pattern)
+    assert sk.measure_noise(rot) <= noise_fresh + 70
     got = np.asarray(sk.try_decrypt(rot).try_decode(Encoding.simd()))
     want = np.concatenate([vals[n // 2 :], vals[: n // 2]])
     np.testing.assert_array_equal(got, want)
 
     # column rotation by 1: each row rotates left by 1
     rot = ek.rotates_columns_by(ct, 1)
+    assert sk.measure_noise(rot) <= noise_fresh + 70
     got = np.asarray(sk.try_decrypt(rot).try_decode(Encoding.simd()))
     want = np.concatenate(
         [np.roll(vals[: n // 2], -1), np.roll(vals[n // 2 :], -1)]
