@@ -265,6 +265,131 @@ def bench_rotate(batch, iters):
     return ops
 
 
+def bench_inner_sum(batch, iters):
+    """Config #4b: the inner-product circuit — log2(n/2)+1 fused Galois
+    key-switches accumulating the total sum (benches/bfv.rs:181-217)."""
+    from tpufhe.bfv import EvaluationKeyBuilder, SecretKey
+    from tpufhe.pipeline import make_inner_sum
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    degree = 8192
+    par = _build_params(degree, 62, 4)
+    rng = ChaCha8Rng(seed_from_u64(7))
+    sk = SecretKey.random(par, rng)
+    ek = EvaluationKeyBuilder(sk).enable_inner_sum().build(rng)
+    fn = make_inner_sum(par, ek)
+    ctx = par.context_at_level(0)
+    c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=4)
+
+    out = fn(c0, c1)
+    _sync(out)
+    x0, x1 = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1 = fn(x0, x1)
+    _sync(x0, x1)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    nrot = (degree // 2 - 1).bit_length() + 1
+    _emit("bfv_inner_sum_n8192_l4", ops, "inner_sums/s/chip",
+          batch=batch, rotations_each=nrot)
+    return ops
+
+
+def bench_dot_product(iters, count=128):
+    """Config #4c: optimized ct-pt dot product of `count` pairs
+    (bfv_optimized_ops.rs:19-70), u128 lazy accumulation, one program.
+    The ciphertext-count axis IS the leading axis; each step chains the
+    dot result back into the inputs so executions cannot be memoized."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufhe.ops import rq as rq_mod
+    from tpufhe.ops.rq import NTT, Poly
+
+    degree = 8192
+    par = _build_params(degree, 62, 4)
+    ctx = par.context_at_level(0)
+
+    c0, c1 = _rand_ct_arrays(ctx, count, degree, count=2, seed=5)
+    pts = np.asarray(_rand_ct_arrays(ctx, count, degree, count=1,
+                                     seed=100)[0])  # baked constant
+
+    @jax.jit
+    def step(cts0, cts1):
+        ps0 = [Poly(ctx, NTT, cts0[i]) for i in range(count)]
+        ps1 = [Poly(ctx, NTT, cts1[i]) for i in range(count)]
+        qs = [Poly(ctx, NTT, jnp.asarray(pts[i])) for i in range(count)]
+        d0 = rq_mod.dot_product(ps0, qs)
+        d1 = rq_mod.dot_product(ps1, qs)
+        # chain: fold the result back into every input ciphertext
+        n0 = (Poly(ctx, NTT, cts0) + d0).coeffs
+        n1 = (Poly(ctx, NTT, cts1) + d1).coeffs
+        return n0, n1
+
+    out = step(c0, c1)
+    _sync(out)
+    x0, x1 = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1 = step(x0, x1)
+    _sync(x0, x1)
+    dt = time.perf_counter() - t0
+    ops = iters / dt
+    _emit(f"bfv_dot_product_{count}_n8192_l4", ops,
+          "dot_products/s/chip", pairs=count)
+    return ops
+
+
+def bench_pir_response(batch, iters):
+    """Config #5: PIR-shaped — oblivious expansion -> plaintext-db dot
+    products -> tensor-accumulated ct-muls -> one relinearization, at
+    N=16384/L=6 (examples/mulpir.rs:163-183). effective_ops counts
+    key-switch-equivalents per response (expansion rotations + muls)."""
+    from tpufhe.bfv import EvaluationKeyBuilder, SecretKey
+    from tpufhe.pipeline import make_pir_response
+    from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
+
+    degree = 16384
+    dim1 = dim2 = 8
+    level_count = (dim1 + dim2 - 1).bit_length()
+    par = _build_params(degree, 62, 6)
+    rng = ChaCha8Rng(seed_from_u64(8))
+    sk = SecretKey.random(par, rng)
+    from tpufhe.bfv import RelinearizationKey
+
+    rk = RelinearizationKey.new(sk, rng)
+    ek = EvaluationKeyBuilder(sk).enable_expansion(level_count).build(rng)
+    ctx = par.context_at_level(0)
+
+    db = np.stack([
+        np.stack([
+            np.asarray(_rand_ct_arrays(ctx, 1, degree, count=1,
+                                       seed=200 + i * dim2 + j)[0][0])
+            for j in range(dim2)
+        ])
+        for i in range(dim1)
+    ])
+    fn = make_pir_response(par, ek, rk, db, dim1, dim2)
+    c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=6)
+
+    out = fn(c0, c1)
+    _sync(out)
+    x0, x1 = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1 = fn(x0, x1)
+    _sync(x0, x1)
+    dt = time.perf_counter() - t0
+    resp = batch * iters / dt
+    expansions = (1 << level_count) - 1  # one key switch per doubling node
+    eff = batch * iters * (expansions + dim2 + 1)
+    _emit("bfv_pir_style_response_n16384_l6", resp, "pir_responses/s/chip",
+          batch=batch, dim1=dim1, dim2=dim2,
+          effective_keyswitch_ops=eff, elapsed_s=round(dt, 2))
+    return resp
+
+
 def bench_scaling():
     """1 -> 8 virtual CPU device scaling (subprocess, cpu platform)."""
     env = dict(os.environ)
@@ -327,10 +452,16 @@ def main():
             ("addptmul", lambda: bench_add_ptmul(batch=batch, iters=iters)),
             ("rotate", lambda: bench_rotate(batch=min(batch, 32),
                                             iters=iters)),
-            ("pir16384", lambda: bench_mul_relin(
+            ("innersum", lambda: bench_inner_sum(batch=min(batch, 16),
+                                                 iters=max(3, iters // 3))),
+            ("dotproduct", lambda: bench_dot_product(
+                iters=max(3, iters // 3))),
+            ("mulrelin16384", lambda: bench_mul_relin(
                 16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
                 metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b",
                 inner=2)),
+            ("pir16384", lambda: bench_pir_response(
+                batch=max(2, batch // 16), iters=2)),
         ):
             if not within_budget():
                 _emit(f"skipped_{name}", -1.0, "budget_exceeded")

@@ -117,3 +117,103 @@ def test_decrypt_phase_pipeline():
     q0 = par.moduli[0]
     got = np.array([((int(v) + t) % q0) % t for v in row0], dtype=np.uint64)
     np.testing.assert_array_equal(got, vals)
+
+
+def test_inner_sum_pipeline_matches_object_api():
+    from tpufhe.bfv import EvaluationKeyBuilder
+    from tpufhe.pipeline import make_inner_sum
+
+    par = BfvParameters.default(3, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    ek = EvaluationKeyBuilder(sk).enable_inner_sum().build(r)
+    t = par.plaintext.value
+    vals = RNG.integers(0, t, size=16, dtype=np.uint64)
+    ct = sk.try_encrypt(Plaintext.try_encode(vals, Encoding.simd(), par), r)
+
+    want = ek.computes_inner_sum(ct)
+    fn = make_inner_sum(par, ek)
+    with jax.disable_jit():
+        out0, out1 = fn(ct[0].coeffs, ct[1].coeffs)
+    np.testing.assert_array_equal(np.asarray(out0),
+                                  np.asarray(want[0].coeffs))
+    np.testing.assert_array_equal(np.asarray(out1),
+                                  np.asarray(want[1].coeffs))
+
+
+def test_expand_pipeline_matches_object_api():
+    from tpufhe.bfv import EvaluationKeyBuilder
+    from tpufhe.pipeline import make_expand
+
+    par = BfvParameters.default(3, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    level = 2
+    ek = EvaluationKeyBuilder(sk).enable_expansion(level).build(r)
+    t = par.plaintext.value
+    vals = np.zeros(16, dtype=np.uint64)
+    vals[:4] = RNG.integers(0, t, size=4, dtype=np.uint64)
+    ct = sk.try_encrypt(Plaintext.try_encode(vals, Encoding.poly(), par), r)
+
+    want = ek.expands(ct, 1 << level)
+    fn = make_expand(par, ek, level)
+    with jax.disable_jit():
+        out0, out1 = fn(ct[0].coeffs[None], ct[1].coeffs[None])  # B=1
+    for i, w in enumerate(want):
+        np.testing.assert_array_equal(np.asarray(out0[i, 0]),
+                                      np.asarray(w[0].coeffs))
+        np.testing.assert_array_equal(np.asarray(out1[i, 0]),
+                                      np.asarray(w[1].coeffs))
+
+
+def test_pir_response_pipeline_end_to_end():
+    """Fused MulPIR server response: expand -> pt-dot -> tensor-accumulate
+    -> single down-scale + relinearize, decrypt-checked (the query selects
+    db cell (i1, j1); the answer must be that cell's SIMD vector)."""
+    from tpufhe.bfv import EvaluationKeyBuilder
+    from tpufhe.pipeline import make_pir_response
+
+    par = BfvParameters.default(4, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r)
+    t = par.plaintext.value
+    dim1, dim2 = 4, 2
+    level_count = (dim1 + dim2 - 1).bit_length()
+    ek = EvaluationKeyBuilder(sk).enable_expansion(level_count).build(r)
+
+    db_vals = RNG.integers(0, t, size=(dim1, dim2, 16), dtype=np.uint64)
+    db_pts = np.stack([
+        np.stack([
+            np.asarray(Plaintext.try_encode(
+                db_vals[i, j], Encoding.simd(), par).poly_ntt.coeffs)
+            for j in range(dim2)
+        ])
+        for i in range(dim1)
+    ])
+
+    # query: one-hot selectors premultiplied by (2^level)^-1 mod t so the
+    # expansion's 2^level scaling cancels (examples/mulpir.rs:83-99)
+    i1, j1 = 2, 1
+    inv2l = pow(1 << level_count, -1, t)
+    q = np.zeros(16, dtype=np.uint64)
+    q[i1] = inv2l
+    q[dim1 + j1] = inv2l
+    ct = sk.try_encrypt(Plaintext.try_encode(q, Encoding.poly(), par), r)
+
+    fn = make_pir_response(par, ek, rk, db_pts, dim1, dim2)
+    with jax.disable_jit():
+        out0, out1 = fn(ct[0].coeffs[None], ct[1].coeffs[None])
+
+    from tpufhe.bfv.ciphertext import Ciphertext
+    from tpufhe.ops.rq import NTT, Poly
+
+    ctx = par.context_at_level(0)
+    ans = Ciphertext(
+        par,
+        [Poly(ctx, NTT, np.asarray(out0)[0]),
+         Poly(ctx, NTT, np.asarray(out1)[0])],
+        0,
+    )
+    got = np.asarray(sk.try_decrypt(ans).try_decode(Encoding.simd()))
+    np.testing.assert_array_equal(got, db_vals[i1, j1])

@@ -174,3 +174,43 @@ def test_reduce_i64_and_center(p):
         [int(x) - p if int(x) >= (p >> 1) else int(x) for x in v], dtype=np.int64
     )
     np.testing.assert_array_equal(c_np, want_c)
+
+
+def test_lazy_reduce_opt_parity():
+    """NFLlib-optimized reductions (zq/mod.rs:730-751): exact vs Python
+    ints for generated supports_opt primes of several widths."""
+    import jax.numpy as jnp
+
+    from tpufhe.ops import zq
+    from tpufhe.utils.primes import generate_prime
+
+    rng = np.random.default_rng(7)
+    for bits in (62, 55, 50):
+        p = generate_prime(bits, 2 * 8192, 1 << bits)
+        m = zq.Modulus(p)
+        assert m.supports_opt
+        lz = m.leading_zeros
+        pp = (jnp.uint32(p & 0xFFFFFFFF), jnp.uint32(p >> 32))
+        bl = (jnp.uint32(m.barrett_lo & 0xFFFFFFFF),
+              jnp.uint32(m.barrett_lo >> 32))
+
+        vals = [int(rng.integers(0, 1 << 62)) * int(rng.integers(0, 1 << 61))
+                % (p * p) for _ in range(64)]
+        limbs = tuple(
+            jnp.asarray(np.array([(v >> (32 * i)) & 0xFFFFFFFF
+                                  for v in vals], np.uint32))
+            for i in range(4))
+        r = zq.lazy_reduce_opt_u128(limbs, bl, lz, pp)
+        got = (np.asarray(r[0]).astype(np.uint64)
+               | (np.asarray(r[1]).astype(np.uint64) << np.uint64(32)))
+        for g, v in zip(got, vals):
+            assert int(g) < 2 * p and int(g) % p == v % p
+
+        v64 = [int(x) for x in rng.integers(0, 1 << 63, 64, dtype=np.uint64)]
+        a = (jnp.asarray(np.array([v & 0xFFFFFFFF for v in v64], np.uint32)),
+             jnp.asarray(np.array([v >> 32 for v in v64], np.uint32)))
+        r = zq.lazy_reduce_opt(a, lz, pp)
+        got = (np.asarray(r[0]).astype(np.uint64)
+               | (np.asarray(r[1]).astype(np.uint64) << np.uint64(32)))
+        for g, v in zip(got, v64):
+            assert int(g) < 2 * p and int(g) % p == v % p

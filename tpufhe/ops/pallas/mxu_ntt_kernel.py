@@ -126,12 +126,37 @@ def _extract_lane(lo, hi, n_planes, b8=False):
     return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=1)
 
 
-def _fold_slices(take, consts, lazy, b8=False):
+def _opt_lz(scal) -> int:
+    """Static NFLlib-opt shift for a per-limb scal table, or 0.
+
+    Nonzero iff every limb's modulus supports the optimized reduction
+    (primes.rs:10-24) and they share one leading_zeros value (true for
+    any same-bit-width generated prime set, e.g. all-62-bit). Gated by
+    TPUFHE_OPT_RED (default on; =0 reverts to generic Barrett)."""
+    import os as _os
+
+    if _os.environ.get("TPUFHE_OPT_RED", "") == "0":
+        return 0
+    from tpufhe.utils.primes import supports_opt
+
+    ps = [int(lo) | (int(hi) << 32) for lo, hi in scal[:, :2]]
+    lzs = {64 - p.bit_length() for p in ps}
+    if len(lzs) != 1:
+        return 0
+    lz = lzs.pop()
+    if not (0 < lz < 32) or not all(supports_opt(p) for p in ps):
+        return 0
+    return lz
+
+
+def _fold_slices(take, consts, lazy, b8=False, opt_lz=0):
     """Fold int32 planes (via take(b) -> (n1, L)) mod p.
 
     b8: 8 signed planes at 8-bit spacing; a static +2^24 offset per plane
     keeps the 16-bit column sums unsigned, and the closed-form constant
-    K*0x0101010101010101 is subtracted once after the fold (exact)."""
+    K*0x0101010101010101 is subtracted once after the fold (exact).
+    opt_lz: nonzero routes the reduce through the NFLlib-optimized
+    single-multiply Barrett (valid: fold values < 2^90 << p^2)."""
     from tpufhe.ops.ntt_mxu import B8_FOLD_CORR, B8_FOLD_K, B8_PLANES
 
     bl, bh, p = consts
@@ -168,7 +193,11 @@ def _fold_slices(take, consts, lazy, b8=False):
             (U32(corr & 0xFFFFFFFF), U32((corr >> 32) & 0xFFFFFFFF),
              U32(corr >> 64)),
         )
-    r = zq.lazy_reduce_u128((v0, v1, v2, jnp.zeros_like(v2)), bl, bh, p)
+    a128 = (v0, v1, v2, jnp.zeros_like(v2))
+    if opt_lz:
+        r = zq.lazy_reduce_opt_u128(a128, bl, opt_lz, p)
+    else:
+        r = zq.lazy_reduce_u128(a128, bl, bh, p)
     if not lazy:
         r = zq.reduce1(r, p)
     return r
@@ -176,7 +205,7 @@ def _fold_slices(take, consts, lazy, b8=False):
 
 def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
-                 inverse: bool, b8: bool = False):
+                 inverse: bool, b8: bool = False, opt_lz: int = 0):
     """Batched formulation: the bt batch rows of one cell are concatenated
     into a SINGLE dot per stage — M1 contracts sublanes so rows stack on
     lanes as (Ax*n1, bt*128); M2 contracts lanes so rows stack on sublanes
@@ -212,10 +241,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
             m_sub, x1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (B*n1, bt*128)
-        s = _fold_slices(
-            lambda b: c1[b * n1 : (b + 1) * n1],
-            consts, lazy=True, b8=b8,
-        )
+        s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
+            consts, lazy=True, b8=b8, opt_lz=opt_lz)
         # twiddle (Shoup, output < 2p); tiles are loop-invariant constants
         twv_t = (jnp.concatenate([twv[0]] * bt, axis=1),
                  jnp.concatenate([twv[1]] * bt, axis=1))
@@ -235,10 +262,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
             x2, m_lane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (bt*n1, B*128)
-        out = _fold_slices(
-            lambda b: c2[:, b * 128 : (b + 1) * 128],
-            consts, lazy=lazy, b8=b8,
-        )
+        out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
+            consts, lazy=lazy, b8=b8, opt_lz=opt_lz)
         o_ref[...] = jnp.stack(
             [out[0].reshape(bt, n1, 128), out[1].reshape(bt, n1, 128)],
             axis=1,
@@ -254,10 +279,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
             x2, m_lane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (bt*n1, B*128)
-        s = _fold_slices(
-            lambda b: c2[:, b * 128 : (b + 1) * 128],
-            consts, lazy=True, b8=b8,
-        )
+        s = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
+            consts, lazy=True, b8=b8, opt_lz=opt_lz)
         twv_t = (jnp.concatenate([twv[0]] * bt, axis=0),
                  jnp.concatenate([twv[1]] * bt, axis=0))
         tws_t = (jnp.concatenate([tws[0]] * bt, axis=0),
@@ -276,10 +299,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
             m_sub, x1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (B*n1, bt*128)
-        out = _fold_slices(
-            lambda b: c1[b * n1 : (b + 1) * n1],
-            consts, lazy=False, b8=b8,
-        )
+        out = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
+            consts, lazy=False, b8=b8, opt_lz=opt_lz)
         o_ref[...] = jnp.stack(
             [
                 jnp.stack([out[0][:, r * 128 : (r + 1) * 128]
@@ -289,6 +310,328 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
             ],
             axis=1,
         )[:, None]
+
+
+def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
+                       ksk_ref, o_ref, *, n1: int, bt: int, n_polys: int,
+                       in_planes: int, b8: bool = False, opt_lz: int = 0):
+    """Merged forward NTT + key-switch accumulate + final add, one cell.
+
+    x_ref: (n_polys, bt, 1, 2, n1, 128) canonical power-basis rows of one
+    limb — polys [c0, c1, d_0..d_{k-1}] (the down-scaled ciphertext parts
+    and the garner decomposition rows, pipeline.build_mul_relin_step).
+    ksk_ref: (1, k_rows, 4, 2, n1, 128) — this limb's ksk constants as
+    [c0, c0_shoup, c1, c1_shoup] value/Shoup u64 pairs.
+    o_ref: (2, bt, 1, 2, n1, 128) — c0 + ks0, c1 + ks1.
+
+    All n_polys*bt rows of the cell share ONE dot per NTT stage (lanes for
+    M1, sublanes for M2), so the MXU batch is n_polys x larger than the
+    plain kernel's; the key-switch Shoup accumulation runs in VMEM on the
+    transform outputs, eliminating the XLA-level accumulate fusion and its
+    HBM staging of the (k x batch) lifted rows (ROOFLINE r2: copies were
+    ~50% of device time).
+    """
+    li = pl.program_id(0)
+    p = (scal_ref[li, 0], scal_ref[li, 1])
+    bl = (scal_ref[li, 2], scal_ref[li, 3])
+    bh = (scal_ref[li, 4], scal_ref[li, 5])
+    consts = (bl, bh, p)
+    k_rows = n_polys - 2
+
+    m_sub = msub_ref[0]
+    m_lane = mlane_ref[0]
+    twv = (tw_ref[0, 0, 0], tw_ref[0, 0, 1])
+    tws = (tw_ref[0, 1, 0], tw_ref[0, 1, 1])
+    a2 = 8 if b8 else 9
+    rows = n_polys * bt
+
+    # stage 1 (M1, sublane contraction): all rows lane-concatenated
+    x1 = jnp.concatenate(
+        [_extract_sub(x_ref[q, r, 0, 0], x_ref[q, r, 0, 1], in_planes, b8)
+         for q in range(n_polys) for r in range(bt)],
+        axis=1,
+    )  # (Ax*n1, rows*128)
+    c1 = jax.lax.dot_general(
+        m_sub, x1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1], consts,
+                     lazy=True, b8=b8, opt_lz=opt_lz)
+    twv_t = (jnp.concatenate([twv[0]] * rows, axis=1),
+             jnp.concatenate([twv[1]] * rows, axis=1))
+    tws_t = (jnp.concatenate([tws[0]] * rows, axis=1),
+             jnp.concatenate([tws[1]] * rows, axis=1))
+    s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+    if b8:
+        s = zq.reduce1(s, p)
+    # stage 2 (M2, lane contraction): rows sublane-concatenated
+    x2 = jnp.concatenate(
+        [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
+                       s[1][:, r * 128 : (r + 1) * 128], a2, b8)
+         for r in range(rows)],
+        axis=0,
+    )  # (rows*n1, a2*128)
+    c2 = jax.lax.dot_general(
+        x2, m_lane, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128], consts,
+                       lazy=False, b8=b8, opt_lz=opt_lz)
+
+    def row(q, r):
+        sl = slice((q * bt + r) * n1, (q * bt + r + 1) * n1)
+        return (out[0][sl], out[1][sl])
+
+    # epilogue: ks{0,1} = sum_i d_i * ksk_c{0,1}[i]; add to c0/c1
+    for r in range(bt):
+        acc0 = acc1 = None
+        for i in range(k_rows):
+            di = row(2 + i, r)
+            t0 = zq.mul_shoup(di, (ksk_ref[0, i, 0, 0], ksk_ref[0, i, 0, 1]),
+                              (ksk_ref[0, i, 1, 0], ksk_ref[0, i, 1, 1]), p)
+            t1 = zq.mul_shoup(di, (ksk_ref[0, i, 2, 0], ksk_ref[0, i, 2, 1]),
+                              (ksk_ref[0, i, 3, 0], ksk_ref[0, i, 3, 1]), p)
+            if acc0 is None:
+                acc0, acc1 = t0, t1
+            else:
+                acc0 = zq.add_mod(acc0, t0, p)
+                acc1 = zq.add_mod(acc1, t1, p)
+        o0 = zq.add_mod(row(0, r), acc0, p)
+        o1 = zq.add_mod(row(1, r), acc1, p)
+        o_ref[0, r, 0] = jnp.stack([o0[0], o0[1]])
+        o_ref[1, r, 0] = jnp.stack([o1[0], o1[1]])
+
+
+@lru_cache(maxsize=None)
+def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
+                     in_planes: int, interpret: bool, b8: bool,
+                     opt_lz: int = 0):
+    # n_polys rows transform per batch row; budget bt so the live int32
+    # product planes (the VMEM peak) stay ~3 MiB as in the plain kernel
+    import os as _os
+
+    # measured on v5e (N=8192/L=3/B=64, opt+tintt on): bt=1 -> 5513,
+    # bt=2 -> 5529 mul+relin/s
+    forced = _os.environ.get("TPUFHE_TAIL_BT", "")
+    bt = int(forced) if forced else max(1, 16 // n_polys)
+    bt = min(bt, batch)
+    while batch % bt:
+        bt -= 1
+    grid = (k, batch // bt)
+    bp = 8 if b8 else B_PLANES
+    a2 = 8 if b8 else 9
+
+    kernel = partial(_relin_tail_kernel, n1=n1, bt=bt, n_polys=n_polys,
+                     in_planes=in_planes, b8=b8, opt_lz=opt_lz)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n_polys, bt, 1, 2, n1, 128),
+                         lambda li, bi, *_: (0, bi, li, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp * n1, in_planes * n1),
+                         lambda li, bi, *_: (li, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, n1, 128),
+                         lambda li, bi, *_: (li, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a2 * 128, bp * 128),
+                         lambda li, bi, *_: (li, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_polys - 2, 4, 2, n1, 128),
+                         lambda li, bi, *_: (li, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, bt, 1, 2, n1, 128),
+                               lambda li, bi, *_: (0, bi, li, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((2, batch, k, 2, n1, 128),
+                                       jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+
+def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
+                        o_ref, *, n1: int, bt: int, in_planes: int,
+                        b8: bool = False, opt_lz: int = 0):
+    """Fused tensor product + inverse NTT for one (limb, batch-tile) cell.
+
+    x_ref: (4, bt, 1, 2, n1, 128) NTT-domain extended operands
+    [a0, a1, b0, b1] of one multiplication-basis limb. The prologue
+    computes the degree-2 tensor (c0, c1, c2) = (a0*b0, a0*b1 + a1*b0,
+    a1*b1) mod p in VMEM (ops/mod.rs:318-325), then the 3*bt rows share
+    one inverse transform (M2b lane dot -> twiddle -> M1b sublane dot).
+    o_ref: (3, bt, 1, 2, n1, 128) power-basis rows. Removes the XLA-level
+    tensor fusion and the full 7-limb tensor's HBM round trip between it
+    and the down-scale iNTT.
+    """
+    li = pl.program_id(0)
+    p = (scal_ref[li, 0], scal_ref[li, 1])
+    bl = (scal_ref[li, 2], scal_ref[li, 3])
+    bh = (scal_ref[li, 4], scal_ref[li, 5])
+    consts = (bl, bh, p)
+
+    m_sub = msub_ref[0]
+    m_lane = mlane_ref[0]
+    twv = (tw_ref[0, 0, 0], tw_ref[0, 0, 1])
+    tws = (tw_ref[0, 1, 0], tw_ref[0, 1, 1])
+    a2 = 8 if b8 else 9
+    rows = 3 * bt
+
+    # prologue: tensor product rows, canonical < p
+    tens = []
+    for r in range(bt):
+        a0 = (x_ref[0, r, 0, 0], x_ref[0, r, 0, 1])
+        a1 = (x_ref[1, r, 0, 0], x_ref[1, r, 0, 1])
+        b0 = (x_ref[2, r, 0, 0], x_ref[2, r, 0, 1])
+        b1 = (x_ref[3, r, 0, 0], x_ref[3, r, 0, 1])
+        c0 = zq.mul_mod(a0, b0, bl, bh, p)
+        c1 = zq.add_mod(zq.mul_mod(a0, b1, bl, bh, p),
+                        zq.mul_mod(a1, b0, bl, bh, p), p)
+        c2 = zq.mul_mod(a1, b1, bl, bh, p)
+        tens.append((c0, c1, c2))
+
+    # inverse: lane contraction (M2b) first, rows on sublanes; row order
+    # is part-major (c0 rows, c1 rows, c2 rows) to match o_ref layout
+    x2 = jnp.concatenate(
+        [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
+         for q in range(3) for r in range(bt)],
+        axis=0,
+    )  # (rows*n1, Ax*128)
+    c2m = jax.lax.dot_general(
+        x2, m_lane, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = _fold_slices(lambda b: c2m[:, b * 128 : (b + 1) * 128], consts,
+        lazy=True, b8=b8, opt_lz=opt_lz)
+    twv_t = (jnp.concatenate([twv[0]] * rows, axis=0),
+             jnp.concatenate([twv[1]] * rows, axis=0))
+    tws_t = (jnp.concatenate([tws[0]] * rows, axis=0),
+             jnp.concatenate([tws[1]] * rows, axis=0))
+    s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+    if b8:
+        s = zq.reduce1(s, p)
+    x1 = jnp.concatenate(
+        [_extract_sub(s[0][r * n1 : (r + 1) * n1],
+                      s[1][r * n1 : (r + 1) * n1], a2, b8)
+         for r in range(rows)],
+        axis=1,
+    )  # (a2*n1, rows*128)
+    c1m = jax.lax.dot_general(
+        m_sub, x1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (B*n1, rows*128)
+    out = _fold_slices(lambda b: c1m[b * n1 : (b + 1) * n1], consts,
+        lazy=False, b8=b8, opt_lz=opt_lz)
+    o_ref[...] = jnp.stack(
+        [
+            jnp.stack([out[0][:, r * 128 : (r + 1) * 128]
+                       for r in range(rows)], axis=0),
+            jnp.stack([out[1][:, r * 128 : (r + 1) * 128]
+                       for r in range(rows)], axis=0),
+        ],
+        axis=1,
+    ).reshape(3, bt, 2, n1, 128)[:, :, None]
+
+
+@lru_cache(maxsize=None)
+def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
+                      interpret: bool, b8: bool, opt_lz: int = 0):
+    import os as _os
+
+    forced = _os.environ.get("TPUFHE_TINTT_BT", "")
+    bt = int(forced) if forced else 2
+    bt = min(bt, batch)
+    while batch % bt:
+        bt -= 1
+    grid = (k, batch // bt)
+    bp = 8 if b8 else B_PLANES
+    a2 = 8 if b8 else 9
+
+    kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
+                     in_planes=in_planes, b8=b8, opt_lz=opt_lz)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((4, bt, 1, 2, n1, 128),
+                         lambda li, bi, *_: (0, bi, li, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bp * n1, a2 * n1),
+                         lambda li, bi, *_: (li, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 2, n1, 128),
+                         lambda li, bi, *_: (li, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, in_planes * 128, bp * 128),
+                         lambda li, bi, *_: (li, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, bt, 1, 2, n1, 128),
+                               lambda li, bi, *_: (0, bi, li, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, batch, k, 2, n1, 128),
+                                       jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+
+def tensor_intt_pallas(a0, a1, b0, b1, ntt_consts, interpret=False,
+                       b8=False):
+    """Fused tensor + inverse NTT: four (B, k, 2, n1, 128) NTT-domain
+    extended operands -> (3, B, k, 2, n1, 128) power-basis tensor rows.
+    ntt_consts: build_mxu4_consts(plan, inverse=True, in_planes=9, b8)."""
+    x = jnp.stack([a0, a1, b0, b1])
+    m_sub, tw, m_lane, scal = ntt_consts
+    _, batch, k, _, n1, _ = x.shape
+    in_planes = m_lane.shape[-2] // 128
+    call = _tensor_intt_call(n1, k, batch, in_planes, interpret, b8,
+                             _opt_lz(scal))
+    return call(scal, x, m_sub, tw, m_lane)
+
+
+def relin_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
+    """Fused tail: x (n_polys, B, k, 2, n1, 128) canonical power-basis
+    rows [c0, c1, d_0..d_{k-1}] -> (2, B, k, 2, n1, 128) relinearized
+    ciphertext. ksk_tail: (k, k_rows, 4, 2, n1, 128) u32 per-limb ksk
+    constants (build_ksk_tail_consts)."""
+    m_sub, tw, m_lane, scal = ntt_consts
+    n_polys, batch, k, _, n1, _ = x.shape
+    in_planes = m_sub.shape[-1] // n1
+    call = _relin_tail_call(n1, k, batch, n_polys, in_planes, interpret, b8,
+                            _opt_lz(scal))
+    return call(scal, x, m_sub, tw, m_lane, ksk_tail)
+
+
+def build_ksk_tail_consts(ksk_c0, ksk_c1) -> np.ndarray:
+    """(k_limbs, k_rows, 4, 2, n1, 128) u32: per limb, per decomposition
+    row, [c0, c0_shoup, c1, c1_shoup] x [lo, hi] lane-folded planes.
+
+    ksk_c0/ksk_c1: lists of (coeffs, coeffs_shoup) numpy pairs shaped
+    (k, 2, n1, 128) as produced by pipeline._ksk_consts."""
+    k_rows = len(ksk_c0)
+    k = ksk_c0[0][0].shape[0]
+    n1 = ksk_c0[0][0].shape[-2]
+    out = np.zeros((k, k_rows, 4, 2, n1, 128), dtype=np.uint32)
+    for i in range(k_rows):
+        c0v, c0s = ksk_c0[i]
+        c1v, c1s = ksk_c1[i]
+        out[:, i, 0] = c0v
+        out[:, i, 1] = c0s
+        out[:, i, 2] = c1v
+        out[:, i, 3] = c1s
+    return out
 
 
 def _pick_bt(batch: int, n1: int) -> int:
@@ -318,7 +661,8 @@ def _pick_bt(batch: int, n1: int) -> int:
 
 @lru_cache(maxsize=None)
 def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
-               inverse: bool, interpret: bool, b8: bool = False):
+               inverse: bool, interpret: bool, b8: bool = False,
+               opt_lz: int = 0):
     bt = _pick_bt(batch, n1)
     grid = (k, batch // bt)
     a2 = 8 if b8 else 9
@@ -327,7 +671,7 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     ay = a2 if not inverse else in_planes
 
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
-                     lazy=lazy, inverse=inverse, b8=b8)
+                     lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -381,5 +725,6 @@ def mxu4_pallas(x, consts, lazy=False, inverse=False, interpret=False,
     batch, k, _, n1, _ = x.shape
     in_planes = (m_sub.shape[-1] // n1) if not inverse else (
         m_lane.shape[-2] // 128)
-    call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret, b8)
+    call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret,
+                      b8, _opt_lz(scal))
     return call(scal, x, m_sub, tw, m_lane)

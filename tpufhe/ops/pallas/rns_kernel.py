@@ -122,7 +122,7 @@ def _fold_cols(planes, n_cols):
 def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
                   k_in: int, size: int, in_planes: int, rows_t: int,
                   factor_one: bool, tg_shift: int, tgamma_digits: tuple,
-                  tgamma_sign: bool):
+                  tgamma_sign: bool, opt_lz: int = 0):
     # X: (in_planes*k_in*st, bt*128) int8 — (a, i, s) on sublanes to match
     # the delta-expanded weight's column order; batch rows on lanes.
     cols_x = []
@@ -215,8 +215,12 @@ def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
         ]
         cols6 = _fold_cols(omega_planes, 6)
         l0, l1, l2 = u64.cols_to_limbs(cols6, 3)
-        o_term = zq.lazy_reduce_u128(
-            (l0, l1, l2, jnp.zeros_like(l2)), bl, bh, p)
+        a96 = (l0, l1, l2, jnp.zeros_like(l2))
+        if opt_lz:
+            # 96-bit fold value << p^2: NFLlib single-multiply reduce
+            o_term = zq.lazy_reduce_opt_u128(a96, bl, opt_lz, p)
+        else:
+            o_term = zq.lazy_reduce_u128(a96, bl, bh, p)
         acc128 = u64.mp_add(acc128, (o_term[0], o_term[1], zero, zero))
         out = zq.reduce_u128(acc128, bl, bh, p)
         for r in range(bt):
@@ -228,12 +232,12 @@ def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
 def _scale_call(n_rows: int, n_sub: int, st: int, bt: int, k_in: int,
                 size: int, in_planes: int, rows_t: int, r_tot: int,
                 factor_one: bool, tg_shift: int, tgamma_digits: tuple,
-                tgamma_sign: bool, interpret: bool):
+                tgamma_sign: bool, interpret: bool, opt_lz: int = 0):
     kernel = partial(
         _scale_kernel, st=st, bt=bt, k_in=k_in, size=size,
         in_planes=in_planes, rows_t=rows_t, factor_one=factor_one,
         tg_shift=tg_shift, tgamma_digits=tgamma_digits,
-        tgamma_sign=tgamma_sign,
+        tgamma_sign=tgamma_sign, opt_lz=opt_lz,
     )
     grid = (n_rows // bt, n_sub // st)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -300,10 +304,13 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
         (int(scaler.theta_gamma) >> (16 * i)) & 0xFFFF
         for i in range(_THETA_DIGITS16)
     )
+    from tpufhe.ops.pallas.mxu_ntt_kernel import _opt_lz
+
     call = _scale_call(
         n_rows, n_sub, st, bt, k_in, size, in_planes, rows_t, r_tot,
         bool(scaler.factor.is_one), int(scaler.theta_garner_shift),
         tg_digits, bool(scaler.theta_gamma_sign), interpret,
+        _opt_lz(scal),
     )
     out = call(scal, xb, w_delta)
     return out.reshape(lead + (size, 2, n_sub, 128))

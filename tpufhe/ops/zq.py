@@ -243,6 +243,41 @@ def reduce_u128(a128, barrett_lo, barrett_hi, p):
     return reduce1(lazy_reduce_u128(a128, barrett_lo, barrett_hi, p), p)
 
 
+def lazy_reduce_opt_u128(a128, barrett_lo, lz: int, p):
+    """NFLlib-optimized lazy Barrett for a < p^2 (zq/mod.rs:730-741):
+
+        q = ((barrett_lo * (a >> 64)) + (a << lz)) >> 64
+        r = (a - q*p) mod 2^64              in [0, 2p)
+
+    Valid ONLY for supports_opt moduli (primes.rs:10-24 Eq. (1)) and
+    inputs < p^2; `lz` is the modulus' leading_zeros (static, 1..31 —
+    all generated 62-bit primes have lz = 2). One wide multiply instead
+    of the generic path's three: the fold-reduce VPU cost nearly halves.
+    The lazy representative may differ from the generic path's, but both
+    are < 2p and congruent, so canonical (reduce1'd) results and any
+    Shoup-consuming downstream ops are unchanged.
+    """
+    assert 0 < lz < 32
+    v0, v1, v2, v3 = a128
+    t = mul64_wide((v2, v3), barrett_lo)  # barrett_lo * (a >> 64), 4 limbs
+    s0 = v0 << U32(lz)
+    s1 = (v1 << U32(lz)) | (v0 >> U32(32 - lz))
+    s2 = (v2 << U32(lz)) | (v1 >> U32(32 - lz))
+    s3 = (v3 << U32(lz)) | (v2 >> U32(32 - lz))
+    s = u64.mp_add(t, (s0, s1, s2, s3))  # < 2^127: no overflow
+    q = (s[2], s[3])
+    return sub64((v0, v1), mul64_lo(q, p))
+
+
+def lazy_reduce_opt(a, lz: int, p):
+    """NFLlib-optimized lazy reduction of a u64 value (zq/mod.rs:744-751):
+    q = a >> (64 - lz); r = a - q*p. Output in [0, 2p). supports_opt
+    moduli only; lz static in 1..31."""
+    assert 0 < lz < 32
+    q = (a[1] >> U32(32 - lz), jnp.zeros_like(a[1]))
+    return sub64(a, mul64_lo(q, p))
+
+
 def lazy_reduce(a, barrett_lo, barrett_hi, p):
     """Barrett-reduce a u64 value into [0, 2p) (zq/mod.rs:712-723)."""
     p_lo_lo = mulhi64(a, barrett_lo)

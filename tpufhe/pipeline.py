@@ -159,18 +159,57 @@ def _ops_for(ctx):
     return mul, add
 
 
-def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
-                        const_slice=None):
-    """Garner-decomposition key switch on power-basis coeffs (..., k, 2|1, S, L).
+def _ksk_digits(ctx, c2_pb):
+    """Garner decomposition rows of power-basis c2, CANONICAL (< p).
 
-    Lifts every decomposition row in ONE lazy forward NTT, then accumulates
-    sum_i d_i * ksk.c{0,1}_i with Shoup products (key_switching_key.rs:214-241).
-    `ntt_fwd` overrides the forward-NTT implementation and `const_slice`
-    maps full-degree constant arrays to the local coefficient block
-    (sequence-sharded pipelines; see parallel/seq_pipeline.py).
+    Returns (k, ..., k, 2|1, S, L): row i broadcast to every limb and
+    fully reduced, so the forward lift can share one in_bits=62 NTT call
+    with other canonical power-basis rows (the down-scale outputs). The
+    extra conditional subtraction vs the lazy [0, 2p) form is one VPU op
+    per element; bit-exactness is unaffected (NTT outputs are canonical
+    either way).
     """
-    if ntt_fwd is None:
-        ntt_fwd = ntt_forward_any
+    d = ctx.dev
+    k = ctx.k
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+        from tpufhe.ops.rq import _c32
+
+        p32 = _c32(d.p32)
+        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
+        # (k, ..., 1, S, L) -> exact residues broadcast over the limb axis
+        digits = jnp.moveaxis(c2_pb, -4, 0)[..., 0, :, :][..., None, :, :]
+        r = zq32.reduce_u64_32(digits, jnp.zeros_like(digits), mu0, mu1, p32)
+        lifted = r[..., None, :, :]
+        return jnp.broadcast_to(
+            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + c2_pb.shape[-2:]
+        )
+
+    p = _exp2(d.p)
+    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+    digits = jnp.moveaxis(c2_pb, -4, 0)[..., None, :, :, :]
+    dp = _pairs(digits)
+    import os as _os
+
+    lzs = {q.leading_zeros for q in ctx.q}
+    if (len(lzs) == 1 and 0 < next(iter(lzs)) < 32
+            and all(q.supports_opt for q in ctx.q)
+            and _os.environ.get("TPUFHE_OPT_RED", "") != "0"):
+        r = zq.lazy_reduce_opt(dp, next(iter(lzs)), p)  # NFLlib Eq.(1)
+    else:
+        r = zq.lazy_reduce(dp, bl, bh, p)  # broadcasts limb axis to k
+    r = zq.reduce1(r, p)  # canonical: shares the in_bits=62 digit mode
+    lifted = _stack(r)
+    return jnp.broadcast_to(
+        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + c2_pb.shape[-2:]
+    )
+
+
+def _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1, const_slice=None):
+    """sum_i d_i * ksk.c{0,1}_i with Shoup products on NTT-domain lifted
+    rows (key_switching_key.rs:227-239). `const_slice` maps full-degree
+    constants to the local coefficient block (sequence-sharded pipelines).
+    """
     if const_slice is not None:
         ksk_c0 = [(const_slice(v), const_slice(vs)) for v, vs in ksk_c0]
         ksk_c1 = [(const_slice(v), const_slice(vs)) for v, vs in ksk_c1]
@@ -182,16 +221,6 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
         from tpufhe.ops.rq import _c32
 
         p32 = _c32(d.p32)
-        mu0, mu1 = _c32(d.mu0), _c32(d.mu1)
-        # (k, ..., 1, S, L) -> exact residues broadcast over the limb axis
-        digits = jnp.moveaxis(c2_pb, -4, 0)[..., 0, :, :][..., None, :, :]
-        r = zq32.reduce_u64_32(digits, jnp.zeros_like(digits), mu0, mu1, p32)
-        lifted = r[..., None, :, :]
-        lifted = jnp.broadcast_to(
-            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + c2_pb.shape[-2:]
-        )
-        lifted = ntt_fwd(ctx, lifted, lazy=True, in_bits=63)  # ONE call
-
         acc0 = acc1 = None
         for i in range(k):
             di = lifted[i][..., 0, :, :]
@@ -209,26 +238,6 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
         return acc0[..., None, :, :], acc1[..., None, :, :]
 
     p = _exp2(d.p)
-    bl, bh = _exp2(d.barrett_lo), _exp2(d.barrett_hi)
-
-    # (k, ..., 2, S, L): row i broadcast to every limb, lazy-reduced to [0, 2p)
-    digits = jnp.moveaxis(c2_pb, -4, 0)[..., None, :, :, :]
-    dp = _pairs(digits)
-    r = zq.lazy_reduce(dp, bl, bh, p)  # broadcasts limb axis to k
-    in_bits = 63
-    from tpufhe.ops.rq import _mxu_b8_on
-
-    if _mxu_b8_on():
-        # one cheap conditional subtraction buys the 8-plane balanced
-        # digit mode in the lifted forward NTT (9 -> 8 data planes)
-        r = zq.reduce1(r, p)
-        in_bits = 62
-    lifted = _stack(r)
-    lifted = jnp.broadcast_to(
-        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + c2_pb.shape[-2:]
-    )
-    lifted = ntt_fwd(ctx, lifted, lazy=True, in_bits=in_bits)  # ONE call
-
     acc0 = None
     acc1 = None
     for i in range(k):
@@ -241,6 +250,106 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
             acc0 = zq.add_mod(acc0, t0, p)
             acc1 = zq.add_mod(acc1, t1, p)
     return _stack(acc0), _stack(acc1)
+
+
+def _tensor_intt_on(ctx) -> tuple[bool, bool]:
+    """(enabled, interpret) for the fused tensor-product + inverse-NTT
+    Pallas kernel: the degree-2 tensor rows are computed in VMEM and
+    immediately inverse-transformed, so the full multiplication-basis
+    tensor never round-trips HBM. TPUFHE_TENSOR_INTT=0 opts out, =1
+    forces (interpret mode off-TPU for parity tests)."""
+    import os
+
+    flag = os.environ.get("TPUFHE_TENSOR_INTT", "")
+    if flag == "0" or ctx.narrow or ctx.degree < 1024 or ctx.degree % 128:
+        return False, False
+    try:
+        tpu = jax.default_backend() == "tpu"
+    except Exception:
+        tpu = False
+    if flag == "1":
+        return True, not tpu
+    return tpu, False
+
+
+def _make_tensor_intt(ctx_mul, interpret: bool):
+    from tpufhe.ops.pallas.mxu_ntt_kernel import tensor_intt_pallas
+    from tpufhe.ops.rq import _mxu_b8_on
+
+    b8 = _mxu_b8_on()
+    in_planes = 8 if b8 else 9
+    consts = ctx_mul.dev.mxu4_consts(slice(None), True, in_planes, b8)
+
+    def fused(a0e, a1e, b0e, b1e):
+        lead = a0e.shape[:-4]
+        args = [v.reshape((-1,) + v.shape[-4:])
+                for v in (a0e, a1e, b0e, b1e)]
+        out = tensor_intt_pallas(*args, consts, interpret=interpret, b8=b8)
+        return out.reshape((3,) + lead + out.shape[-4:])
+
+    return fused
+
+
+def _relin_tail_on(ctx) -> tuple[bool, bool]:
+    """(enabled, interpret) for the fused relin-tail Pallas kernel
+    (pallas/mxu_ntt_kernel.py relin_tail_pallas): the merged forward NTT,
+    key-switch Shoup accumulation, and final adds in ONE kernel so the
+    (k x batch) lifted rows never round-trip HBM. TPUFHE_RELIN_TAIL=0
+    opts out, =1 forces (interpret mode off-TPU for parity tests)."""
+    import os
+
+    flag = os.environ.get("TPUFHE_RELIN_TAIL", "")
+    if flag == "0" or ctx.narrow or ctx.degree < 1024 or ctx.degree % 128:
+        return False, False
+    try:
+        tpu = jax.default_backend() == "tpu"
+    except Exception:
+        tpu = False
+    if flag == "1":
+        return True, not tpu
+    return tpu, False
+
+
+def _make_relin_tail(ctx, ksk_c0, ksk_c1, interpret: bool):
+    """(dsc01, digits) -> (c0+ks0, c1+ks1) via the fused tail kernel."""
+    from tpufhe.ops.pallas.mxu_ntt_kernel import (
+        build_ksk_tail_consts,
+        relin_tail_pallas,
+    )
+    from tpufhe.ops.rq import _mxu_b8_on
+
+    b8 = _mxu_b8_on()
+    in_planes = 8 if b8 else 9  # canonical (< 2^62) inputs
+    ntt_consts = ctx.dev.mxu4_consts(slice(None), False, in_planes, b8)
+    ksk_tail = build_ksk_tail_consts(ksk_c0, ksk_c1)
+
+    def tail(dsc01, digits):
+        stacked = jnp.concatenate([dsc01, digits], axis=0)
+        lead = stacked.shape[1:-4]
+        x = stacked.reshape((stacked.shape[0], -1) + stacked.shape[-4:])
+        out = relin_tail_pallas(x, ntt_consts, ksk_tail,
+                                interpret=interpret, b8=b8)
+        return (out[0].reshape(lead + out.shape[-4:]),
+                out[1].reshape(lead + out.shape[-4:]))
+
+    return tail
+
+
+def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
+                        const_slice=None):
+    """Garner-decomposition key switch on power-basis coeffs (..., k, 2|1, S, L).
+
+    Lifts every decomposition row in ONE forward NTT, then accumulates
+    sum_i d_i * ksk.c{0,1}_i with Shoup products (key_switching_key.rs:214-241).
+    Standalone form (Galois rotation path); the mul+relin pipeline merges
+    the lift NTT with the down-scale forward NTT instead.
+    """
+    if ntt_fwd is None:
+        ntt_fwd = ntt_forward_any
+    lifted = _ksk_digits(ctx, c2_pb)
+    lifted = ntt_fwd(ctx, lifted, lazy=True, in_bits=62)  # ONE call
+    return _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1,
+                           const_slice=const_slice)
 
 
 def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
@@ -270,6 +379,13 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
     tensor_m = _tensor_for(ctx_mul)
     _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
+    tail_on, tail_interp = _relin_tail_on(ctx)
+    tail_on &= ntt_fwd is ntt_forward_any and const_slice is None
+    tail = (_make_relin_tail(ctx, ksk_c0, ksk_c1, tail_interp)
+            if tail_on else None)
+    tintt_on, tintt_interp = _tensor_intt_on(ctx_mul)
+    tintt_on &= ntt_bwd is ntt_backward_any
+    tintt = _make_tensor_intt(ctx_mul, tintt_interp) if tintt_on else None
 
     def step(a0, a1, b0, b1):
         x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
@@ -281,18 +397,33 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
         ext = jnp.concatenate([x, new_rows], axis=-4)
         a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
-        # tensor product (ops/mod.rs:318-325), parts pre-stacked
-        t = tensor_m(a0e, a1e, b0e, b1e)
-
-        # down-scale by t/q (ops/mod.rs:326-332)
-        t_pb = ntt_bwd(ctx_mul, t, in_bits=62)
+        if tintt is not None:
+            # fused tensor + down-scale iNTT (ops/mod.rs:318-332): the
+            # tensor rows are formed and inverse-transformed in VMEM
+            t_pb = tintt(a0e, a1e, b0e, b1e)
+        else:
+            # tensor product (ops/mod.rs:318-325), parts pre-stacked
+            t = tensor_m(a0e, a1e, b0e, b1e)
+            # down-scale by t/q (ops/mod.rs:326-332)
+            t_pb = ntt_bwd(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)  # power basis
-        c01 = ntt_fwd(ctx, dsc[:2], in_bits=62)
 
-        # relinearize c2 (relinearization_key.rs:71-98)
-        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1,
-                                       ntt_fwd=ntt_fwd,
-                                       const_slice=const_slice)
+        # MERGED forward transform: the down-scaled c0/c1 (2 polys) and
+        # the key-switch decomposition lift of c2 (k broadcast rows,
+        # relinearization_key.rs:71-98) all consume canonical power-basis
+        # rows, so they share ONE forward-NTT launch (2+k polys, k limbs
+        # each) instead of two — fewer dispatches and a larger MXU batch
+        # per kernel grid.
+        digits = _ksk_digits(ctx, dsc[2])
+        if tail is not None:
+            # fused tail kernel: NTT + key-switch accumulate + adds in
+            # VMEM (the lifted rows never round-trip HBM)
+            return tail(dsc[:2], digits)
+        stacked = jnp.concatenate([dsc[:2], digits], axis=0)
+        ntts = ntt_fwd(ctx, stacked, in_bits=62)
+        c01, lifted = ntts[:2], ntts[2:]
+        ks0, ks1 = _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1,
+                                   const_slice=const_slice)
         return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
     return step
@@ -332,9 +463,13 @@ def make_square_relin(par: BfvParameters, rk, level: int = 0):
 
         t_pb = ntt_backward_any(ctx_mul, t, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)
-        c01 = ntt_forward_any(ctx, dsc[:2], in_bits=62)
 
-        ks0, ks1 = _key_switch_batched(ctx, dsc[2], ksk_c0, ksk_c1)
+        # merged c0/c1 + key-switch-lift forward NTT (see make_mul_relin)
+        digits = _ksk_digits(ctx, dsc[2])
+        stacked = jnp.concatenate([dsc[:2], digits], axis=0)
+        ntts = ntt_forward_any(ctx, stacked, in_bits=62)
+        c01, lifted = ntts[:2], ntts[2:]
+        ks0, ks1 = _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1)
         return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
     return jax.jit(step)
@@ -431,6 +566,216 @@ def make_rotate(par: BfvParameters, gk, level: int = 0):
         c2_pb = ntt_backward_any(ctx, s1, in_bits=62)
         ks0, ks1 = _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1)
         return add_c(ks0, s0), ks1
+
+    return jax.jit(step)
+
+
+def _ops3_for(ctx):
+    """(mul_shoup, add, sub) elementwise closures over (..., k, 2|1, S, L).
+
+    mul_shoup takes (a, const_pair, const_shoup_pair) with the constants
+    as baked numpy arrays (NttShoup polys)."""
+    d = ctx.dev
+    if ctx.narrow:
+        from tpufhe.ops import zq32
+        from tpufhe.ops.rq import _c32
+
+        p32 = _c32(d.p32)
+
+        def mul_shoup(a, c, cs):
+            r = zq32.mul_shoup32(a[..., 0, :, :], c[..., 0, :, :],
+                                 cs[..., 0, :, :], p32)
+            return r[..., None, :, :]
+
+        def add(a, b):
+            return zq32.add_mod32(a[..., 0, :, :], b[..., 0, :, :],
+                                  p32)[..., None, :, :]
+
+        def sub(a, b):
+            return zq32.sub_mod32(a[..., 0, :, :], b[..., 0, :, :],
+                                  p32)[..., None, :, :]
+
+        return mul_shoup, add, sub
+
+    p = _exp2(d.p)
+
+    def mul_shoup(a, c, cs):
+        return _stack(zq.mul_shoup(_pairs(a), _pairs(c), _pairs(cs), p))
+
+    def add(a, b):
+        return _stack(zq.add_mod(_pairs(a), _pairs(b), p))
+
+    def sub(a, b):
+        return _stack(zq.sub_mod(_pairs(a), _pairs(b), p))
+
+    return mul_shoup, add, sub
+
+
+def _rotate_step(ctx, perm, ksk_c0, ksk_c1, add_c):
+    """(c0, c1) -> Galois-rotated ciphertext (galois_key.rs:90-124):
+    substitute both parts, key-switch the substituted c1, add."""
+    perm_j = jnp.asarray(perm)
+
+    def rot(c0, c1):
+        s0 = _fold(jnp.take(_unfold(c0), perm_j, axis=-1))
+        s1 = _fold(jnp.take(_unfold(c1), perm_j, axis=-1))
+        c2_pb = ntt_backward_any(ctx, s1, in_bits=62)
+        ks0, ks1 = _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1)
+        return add_c(ks0, s0), ks1
+
+    return rot
+
+
+def make_inner_sum(par: BfvParameters, ek, level: int = 0):
+    """Jitted inner sum: log2(n/2) column rotations + 1 row rotation, each
+    a fused substitute+key-switch, accumulated in ONE program
+    (evaluation_key.rs:56-82; BASELINE config #4 'inner-product circuit')."""
+    ctx = par.context_at_level(level)
+    n = par.degree()
+    _, add_c = _ops_for(ctx)
+
+    rots = []
+    i = 1
+    while i < n // 2:
+        gk = ek.gk[ek.rot_to_gk_exponent[i]]
+        rots.append(_rotate_step(ctx, np.asarray(gk.element.perm_ntt),
+                                 *_ksk_consts(gk.ksk), add_c))
+        i *= 2
+    gk = ek.gk[2 * n - 1]
+    rots.append(_rotate_step(ctx, np.asarray(gk.element.perm_ntt),
+                             *_ksk_consts(gk.ksk), add_c))
+
+    def step(c0, c1):
+        for rot in rots:
+            r0, r1 = rot(c0, c1)
+            c0, c1 = add_c(c0, r0), add_c(c1, r1)
+        return c0, c1
+
+    return jax.jit(step)
+
+
+def build_expand_step(par: BfvParameters, ek, level_count: int,
+                      level: int = 0):
+    """Un-jitted oblivious expansion (Angel et al., evaluation_key.rs:153-193)
+    into 2^level_count ciphertexts, fully fused: at doubling level l ALL
+    2^l live ciphertexts rotate in one batched substitute+key-switch and
+    the monomial x^{-2^l} fold is one Shoup multiply by a baked constant.
+
+    (c0, c1) of shape (B, k, 2|1, S, L) -> (2^level_count, B, k, 2|1, S, L)
+    pair, bit-identical to EvaluationKey.expands.
+    """
+    ctx = par.context_at_level(level)
+    n = par.degree()
+    mul_s, add_c, sub_c = _ops3_for(ctx)
+
+    levels = []
+    for l in range(level_count):
+        gk = ek.gk[(n >> l) + 1]
+        mono = ek.monomials[l]
+        levels.append((
+            np.asarray(gk.element.perm_ntt),
+            _ksk_consts(gk.ksk),
+            _np_pairs(mono.coeffs),
+            _np_pairs(mono.coeffs_shoup),
+        ))
+
+    def step(c0, c1):
+        cur0, cur1 = c0[None], c1[None]  # (1, B, ...)
+        for perm, (kc0, kc1), mono, mono_s in levels:
+            rot = _rotate_step(ctx, perm, kc0, kc1, add_c)
+            sub0, sub1 = rot(cur0, cur1)
+            new0 = mul_s(sub_c(cur0, sub0), mono, mono_s)
+            new1 = mul_s(sub_c(cur1, sub1), mono, mono_s)
+            cur0 = jnp.concatenate([add_c(cur0, sub0), new0])
+            cur1 = jnp.concatenate([add_c(cur1, sub1), new1])
+        return cur0, cur1
+
+    return step
+
+
+def make_expand(par: BfvParameters, ek, level_count: int, level: int = 0):
+    return jax.jit(build_expand_step(par, ek, level_count, level))
+
+
+def make_pir_response(par: BfvParameters, ek, rk, db_pts, dim1: int,
+                      dim2: int, level: int = 0):
+    """Jitted MulPIR server response (examples/mulpir.rs:163-183): ONE
+    program that expands the query to dim1+dim2 ciphertexts, dot-products
+    the first dim1 against the plaintext database columns, multiplies each
+    of the dim2 second-dimension selectors against its column response
+    (extend -> tensor accumulated in the multiplication basis), then
+    down-scales and relinearizes ONCE.
+
+    db_pts: (dim1, dim2) array of plaintext NTT polys as raw residue
+    arrays (k, 2|1, S, L) — baked into the program as constants.
+    """
+    level_count = (dim1 + dim2 - 1).bit_length()
+    ctx_lvl = par.context_level_at(level)
+    ctx = ctx_lvl.poly_context
+    mp = ctx_lvl.mul_params()
+    ctx_mul = mp.extender.to_ctx
+    k, k_mul = ctx.k, ctx_mul.k
+    ext_rns = mp.extender.rns_scaler
+    down_rns = mp.down_scaler.rns_scaler
+    mul_c, add_c = _ops_for(ctx)
+    mul_m, add_m = _ops_for(ctx_mul)
+    ksk_c0, ksk_c1 = _ksk_consts(rk.ksk)
+    expand = build_expand_step(par, ek, level_count, level)
+    db = np.asarray(db_pts)  # (dim1, dim2, k, 2|1, S, L)
+
+    def step(c0, c1):
+        e0, e1 = expand(c0, c1)  # (2^L, B, ...)
+
+        # first dimension: resp[j] = sum_i db[i, j] * exp_i (pt-mul dots)
+        q0, q1 = e0[:dim1], e1[:dim1]
+        r0 = []
+        r1 = []
+        for j in range(dim2):
+            acc0 = acc1 = None
+            for i in range(dim1):
+                w = jnp.asarray(db[i, j])
+                t0, t1 = mul_c(q0[i], w), mul_c(q1[i], w)
+                acc0 = t0 if acc0 is None else add_c(acc0, t0)
+                acc1 = t1 if acc1 is None else add_c(acc1, t1)
+            r0.append(acc0)
+            r1.append(acc1)
+
+        # second dimension: extend everything to the multiplication basis
+        # and accumulate the tensor sum_j exp2_j (x) resp_j, then ONE
+        # down-scale + relinearize (ops/mod.rs:259-341 done once for the
+        # whole accumulated tensor — exact by linearity of the scaler's
+        # per-coefficient rounding ONLY at the tensor level, so the sum
+        # is taken BEFORE scaling, matching mulpir.rs:176-183 semantics).
+        sel = jnp.stack([e0[dim1 : dim1 + dim2], e1[dim1 : dim1 + dim2]])
+        resp = jnp.stack([jnp.stack(r0), jnp.stack(r1)])
+        both = jnp.concatenate([sel, resp], axis=0)  # (4, dim2, B, ...)
+        pb = ntt_backward_any(ctx, both, in_bits=62)
+        new_rows = ext_rns.scale(pb, starting_index=k, size=k_mul - k)
+        new_rows = ntt_forward_any(ctx_mul, new_rows,
+                                   limb_slice=slice(k, k_mul), in_bits=62)
+        ext = jnp.concatenate([both, new_rows], axis=-4)
+        s0, s1, p0, p1 = (ext[i] for i in range(4))
+
+        acc = None
+        for j in range(dim2):
+            t = jnp.stack([
+                mul_m(s0[j], p0[j]),
+                add_m(mul_m(s0[j], p1[j]), mul_m(s1[j], p0[j])),
+                mul_m(s1[j], p1[j]),
+            ])
+            acc = t if acc is None else jnp.stack([
+                add_m(acc[0], t[0]), add_m(acc[1], t[1]),
+                add_m(acc[2], t[2]),
+            ])
+
+        t_pb = ntt_backward_any(ctx_mul, acc, in_bits=62)
+        dsc = down_rns.scale(t_pb, starting_index=0, size=k)
+        digits = _ksk_digits(ctx, dsc[2])
+        stacked = jnp.concatenate([dsc[:2], digits], axis=0)
+        ntts = ntt_forward_any(ctx, stacked, in_bits=62)
+        c01, lifted = ntts[:2], ntts[2:]
+        ks0, ks1 = _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1)
+        return add_c(c01[0], ks0), add_c(c01[1], ks1)
 
     return jax.jit(step)
 
