@@ -181,8 +181,7 @@ def test_tensor_intt_parity(ops, plan):
 
     consts = build_mxu4_consts(plan, inverse=True, in_planes=9)
     got = np.asarray(tensor_intt_pallas(
-        jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(b0), jnp.asarray(b1),
-        consts, interpret=True))
+        jnp.asarray(np.stack([a0, a1, b0, b1])), consts, interpret=True))
     np.testing.assert_array_equal(got, want)
 
 

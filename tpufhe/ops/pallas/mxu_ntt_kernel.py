@@ -587,12 +587,12 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     )
 
 
-def tensor_intt_pallas(a0, a1, b0, b1, ntt_consts, interpret=False,
-                       b8=False):
-    """Fused tensor + inverse NTT: four (B, k, 2, n1, 128) NTT-domain
-    extended operands -> (3, B, k, 2, n1, 128) power-basis tensor rows.
+def tensor_intt_pallas(x, ntt_consts, interpret=False, b8=False):
+    """Fused tensor + inverse NTT: x (4, B, k, 2, n1, 128) NTT-domain
+    extended operands [a0, a1, b0, b1] -> (3, B, k, 2, n1, 128)
+    power-basis tensor rows. Taking the poly axis pre-stacked matters:
+    the pipeline's `ext` concat already has it, so no re-stack copy.
     ntt_consts: build_mxu4_consts(plan, inverse=True, in_planes=9, b8)."""
-    x = jnp.stack([a0, a1, b0, b1])
     m_sub, tw, m_lane, scal = ntt_consts
     _, batch, k, _, n1, _ = x.shape
     in_planes = m_lane.shape[-2] // 128

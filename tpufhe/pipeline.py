@@ -280,11 +280,11 @@ def _make_tensor_intt(ctx_mul, interpret: bool):
     in_planes = 8 if b8 else 9
     consts = ctx_mul.dev.mxu4_consts(slice(None), True, in_planes, b8)
 
-    def fused(a0e, a1e, b0e, b1e):
-        lead = a0e.shape[:-4]
-        args = [v.reshape((-1,) + v.shape[-4:])
-                for v in (a0e, a1e, b0e, b1e)]
-        out = tensor_intt_pallas(*args, consts, interpret=interpret, b8=b8)
+    def fused(ext):
+        # ext: (4, ..., k, 2, n1, 128) with the poly axis ALREADY leading
+        lead = ext.shape[1:-4]
+        x = ext.reshape((4, -1) + ext.shape[-4:])
+        out = tensor_intt_pallas(x, consts, interpret=interpret, b8=b8)
         return out.reshape((3,) + lead + out.shape[-4:])
 
     return fused
@@ -395,13 +395,14 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
         new_rows = ntt_fwd(ctx_mul, new_rows,
                            limb_slice=slice(k, k_mul), in_bits=62)
         ext = jnp.concatenate([x, new_rows], axis=-4)
-        a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
 
         if tintt is not None:
             # fused tensor + down-scale iNTT (ops/mod.rs:318-332): the
-            # tensor rows are formed and inverse-transformed in VMEM
-            t_pb = tintt(a0e, a1e, b0e, b1e)
+            # tensor rows are formed and inverse-transformed in VMEM;
+            # ext's leading poly axis feeds the kernel directly
+            t_pb = tintt(ext)
         else:
+            a0e, a1e, b0e, b1e = (ext[i] for i in range(4))
             # tensor product (ops/mod.rs:318-325), parts pre-stacked
             t = tensor_m(a0e, a1e, b0e, b1e)
             # down-scale by t/q (ops/mod.rs:326-332)
