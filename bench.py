@@ -115,9 +115,9 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
 
     if inner is None:
         # chaining more applications per program amortizes the ~10 ms
-        # tunnel dispatch: inner 4 -> 8 -> 16 measured 2740/2971(+kernels:
-        # 4115)/4257 ops/s at N=8192/L=3/B=64
-        inner = int(os.environ.get("BENCH_INNER", 16))
+        # tunnel dispatch: inner 16 -> 32 measured 5739 -> 5777 ops/s at
+        # N=8192/L=3/B=64 (r3 kernels)
+        inner = int(os.environ.get("BENCH_INNER", 32))
 
     par = _build_params(degree, limb_bits, n_limbs)
     sk, rk, _ = _keys(par)
@@ -127,7 +127,7 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
 
     # donate the chained operand buffers: XLA may alias them into the
     # outputs instead of copying (the trace shows ~24% blocking DMA)
-    if os.environ.get("BENCH_LOOP", "") == "1":
+    if os.environ.get("BENCH_LOOP", "1") != "0":
         # lax.fori_loop chain: the app body compiles ONCE instead of
         # `inner` unrolled copies (same serial data dependence, ~inner x
         # faster XLA compiles; A/B throughput vs the unrolled chain)

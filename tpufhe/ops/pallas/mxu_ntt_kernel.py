@@ -646,14 +646,15 @@ def _pick_bt(batch: int, n1: int) -> int:
         while batch % bt:
             bt -= 1
         return bt
-    # Measured on v5e at N=8192/L=3/B=64 with batched per-stage dots and
-    # the fused Pallas scaler: bt=4 -> 4040, bt=8 -> 4079, bt=16 -> 3721
-    # mul+relin/s; prefer 8 when VMEM allows.
+    # Measured on v5e at N=8192/L=3/B=64: with the r2 kernels bt=8 beat
+    # 16 (4079 vs 3721), but with the r3 b8 planes + opt reduction the
+    # per-row VMEM footprint shrank and bt=16 wins (5777 vs 5616 combo
+    # sweeps, benches/logs/sweep_r3{b,c,d}.log); prefer 16 when it fits.
     budget = 12 * 1024 * 1024
     consts = (9 * n1) * (10 * n1) + (10 * 128) * (9 * 128) + 4 * n1 * 128 * 4
     per_row = n1 * 128 * 4 * 12 + n1 * 1152 * 2
     bt = max(1, (budget - 2 * consts) // per_row)
-    bt = min(bt, batch, 8)
+    bt = min(bt, batch, 16)
     while batch % bt:
         bt -= 1
     return bt

@@ -382,11 +382,12 @@ def _mxu_pallas_ok(ctx: Context) -> bool:
 
 
 def _mxu_b8_on() -> bool:
-    """Balanced 8-bit digit planes in the fused kernel (canonical inputs
+    """Balanced 8-bit digit planes in the fused kernels (canonical inputs
     only; see ntt_mxu.py B8 notes): 8x8 instead of 9x9 plane products.
-    TPUFHE_MXU_B8=1 opts in (bit-exact in interpret mode; not yet
-    A/B-measured on the real chip — flip the default once it is)."""
-    return os.environ.get("TPUFHE_MXU_B8", "") == "1"
+    Default ON since round 3 (v5e A/B at N=8192/L=3/B=64: 5545 -> 5616
+    mul+relin/s alone, part of the winning 5777 combo); TPUFHE_MXU_B8=0
+    reverts."""
+    return os.environ.get("TPUFHE_MXU_B8", "1") != "0"
 
 
 def _mxu_ok(ctx: Context) -> bool:
