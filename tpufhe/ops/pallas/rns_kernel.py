@@ -199,6 +199,15 @@ def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
         gs = (scal_ref[j, 8], scal_ref[j, 9])
         p2 = (scal_ref[j, 10], scal_ref[j, 11])
 
+        # acc128 = y + term + o_term < 6p < 2^65 << p^2, so the NFLlib
+        # single-multiply reduce applies to it; v's only proven bound is
+        # < 2^128 (it must stay on the generic 128-bit Barrett)
+        def _red128(x):
+            if opt_lz:
+                return zq.reduce1(
+                    zq.lazy_reduce_opt_u128(x, bl, opt_lz, p), p)
+            return zq.reduce_u128(x, bl, bh, p)
+
         v_red = zq.reduce_u128(v, bl, bh, p)
         t0 = zq.lazy_mul_shoup(v_red, gam, gs, p)
         y = u64.sub64(p2, t0)
@@ -222,7 +231,7 @@ def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
         else:
             o_term = zq.lazy_reduce_u128(a96, bl, bh, p)
         acc128 = u64.mp_add(acc128, (o_term[0], o_term[1], zero, zero))
-        out = zq.reduce_u128(acc128, bl, bh, p)
+        out = _red128(acc128)
         for r in range(bt):
             o_ref[r, j, 0] = out[0][:, r * 128 : (r + 1) * 128]
             o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
