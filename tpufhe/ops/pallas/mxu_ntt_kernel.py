@@ -484,17 +484,28 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
     a2 = 8 if b8 else 9
     rows = 3 * bt
 
-    # prologue: tensor product rows, canonical < p
+    # prologue: tensor product rows, canonical < p. With a supports_opt
+    # modulus each product a*b < p^2 takes the NFLlib single-multiply
+    # reduce (2 wide muls vs the generic Barrett's 4); c1's two lazy
+    # terms sum to < 4p < 2^64, which lazy_reduce_opt (u64 form) brings
+    # back under 2p with one low multiply.
     tens = []
     for r in range(bt):
         a0 = (x_ref[0, r, 0, 0], x_ref[0, r, 0, 1])
         a1 = (x_ref[1, r, 0, 0], x_ref[1, r, 0, 1])
         b0 = (x_ref[2, r, 0, 0], x_ref[2, r, 0, 1])
         b1 = (x_ref[3, r, 0, 0], x_ref[3, r, 0, 1])
-        c0 = zq.mul_mod(a0, b0, bl, bh, p)
-        c1 = zq.add_mod(zq.mul_mod(a0, b1, bl, bh, p),
-                        zq.mul_mod(a1, b0, bl, bh, p), p)
-        c2 = zq.mul_mod(a1, b1, bl, bh, p)
+        if opt_lz:
+            c0 = zq.mul_mod_opt(a0, b0, bl, opt_lz, p)
+            s01 = u64.add64(zq.lazy_mul_opt(a0, b1, bl, opt_lz, p),
+                            zq.lazy_mul_opt(a1, b0, bl, opt_lz, p))
+            c1 = zq.reduce1(zq.lazy_reduce_opt(s01, opt_lz, p), p)
+            c2 = zq.mul_mod_opt(a1, b1, bl, opt_lz, p)
+        else:
+            c0 = zq.mul_mod(a0, b0, bl, bh, p)
+            c1 = zq.add_mod(zq.mul_mod(a0, b1, bl, bh, p),
+                            zq.mul_mod(a1, b0, bl, bh, p), p)
+            c2 = zq.mul_mod(a1, b1, bl, bh, p)
         tens.append((c0, c1, c2))
 
     # inverse: lane contraction (M2b) first, rows on sublanes; row order

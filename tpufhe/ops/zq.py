@@ -299,6 +299,20 @@ def mul_mod(a, b, barrett_lo, barrett_hi, p):
     return reduce_u128(prod, barrett_lo, barrett_hi, p)
 
 
+def lazy_mul_opt(a, b, barrett_lo, lz: int, p):
+    """(a * b) mod p in [0, 2p) for a, b < p via the NFLlib-optimized
+    Barrett (supports_opt moduli only): a*b < p^2 satisfies the
+    lazy_reduce_opt_u128 precondition. Two wide multiplies total vs the
+    generic path's four."""
+    prod = mul64_wide(a, b)
+    return lazy_reduce_opt_u128(prod, barrett_lo, lz, p)
+
+
+def mul_mod_opt(a, b, barrett_lo, lz: int, p):
+    """(a * b) mod p for a, b < p via the NFLlib-optimized Barrett."""
+    return reduce1(lazy_mul_opt(a, b, barrett_lo, lz, p), p)
+
+
 def reduce_i64(a_lo, a_hi, barrett_lo, barrett_hi, p):
     """Reduce a signed 64-bit value (as u64 pair two's complement) mod p.
 
