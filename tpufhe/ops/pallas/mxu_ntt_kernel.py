@@ -375,8 +375,17 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         x2, m_lane, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    # With an opt modulus of >= 2 leading zeros (p < 2^62, all generated
+    # 62-bit primes) the whole epilogue runs on LAZY (< 2p)
+    # representatives: lazy_mul_shoup takes any u64 first argument, lazy
+    # pairs sum to < 4p < 2^64, and one u64 lazy_reduce_opt restores the
+    # < 2p invariant — the only canonicalization is the final reduce1 on
+    # the two output rows. At lz = 1 the u64 sum could overflow, so that
+    # case keeps the canonical add_mod chain (outputs are bit-identical
+    # either way: canonical).
+    lazy_epi = opt_lz >= 2
     out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128], consts,
-                       lazy=False, b8=b8, opt_lz=opt_lz)
+                       lazy=lazy_epi, b8=b8, opt_lz=opt_lz)
 
     def row(q, r):
         sl = slice((q * bt + r) * n1, (q * bt + r + 1) * n1)
@@ -387,17 +396,40 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         acc0 = acc1 = None
         for i in range(k_rows):
             di = row(2 + i, r)
-            t0 = zq.mul_shoup(di, (ksk_ref[0, i, 0, 0], ksk_ref[0, i, 0, 1]),
-                              (ksk_ref[0, i, 1, 0], ksk_ref[0, i, 1, 1]), p)
-            t1 = zq.mul_shoup(di, (ksk_ref[0, i, 2, 0], ksk_ref[0, i, 2, 1]),
-                              (ksk_ref[0, i, 3, 0], ksk_ref[0, i, 3, 1]), p)
-            if acc0 is None:
-                acc0, acc1 = t0, t1
+            if lazy_epi:
+                t0 = zq.lazy_mul_shoup(
+                    di, (ksk_ref[0, i, 0, 0], ksk_ref[0, i, 0, 1]),
+                    (ksk_ref[0, i, 1, 0], ksk_ref[0, i, 1, 1]), p)
+                t1 = zq.lazy_mul_shoup(
+                    di, (ksk_ref[0, i, 2, 0], ksk_ref[0, i, 2, 1]),
+                    (ksk_ref[0, i, 3, 0], ksk_ref[0, i, 3, 1]), p)
+                if acc0 is None:
+                    acc0, acc1 = t0, t1
+                else:
+                    acc0 = zq.lazy_reduce_opt(
+                        u64.add64(acc0, t0), opt_lz, p)
+                    acc1 = zq.lazy_reduce_opt(
+                        u64.add64(acc1, t1), opt_lz, p)
             else:
-                acc0 = zq.add_mod(acc0, t0, p)
-                acc1 = zq.add_mod(acc1, t1, p)
-        o0 = zq.add_mod(row(0, r), acc0, p)
-        o1 = zq.add_mod(row(1, r), acc1, p)
+                t0 = zq.mul_shoup(
+                    di, (ksk_ref[0, i, 0, 0], ksk_ref[0, i, 0, 1]),
+                    (ksk_ref[0, i, 1, 0], ksk_ref[0, i, 1, 1]), p)
+                t1 = zq.mul_shoup(
+                    di, (ksk_ref[0, i, 2, 0], ksk_ref[0, i, 2, 1]),
+                    (ksk_ref[0, i, 3, 0], ksk_ref[0, i, 3, 1]), p)
+                if acc0 is None:
+                    acc0, acc1 = t0, t1
+                else:
+                    acc0 = zq.add_mod(acc0, t0, p)
+                    acc1 = zq.add_mod(acc1, t1, p)
+        if lazy_epi:
+            o0 = zq.reduce1(zq.lazy_reduce_opt(
+                u64.add64(row(0, r), acc0), opt_lz, p), p)
+            o1 = zq.reduce1(zq.lazy_reduce_opt(
+                u64.add64(row(1, r), acc1), opt_lz, p), p)
+        else:
+            o0 = zq.add_mod(row(0, r), acc0, p)
+            o1 = zq.add_mod(row(1, r), acc1, p)
         o_ref[0, r, 0] = jnp.stack([o0[0], o0[1]])
         o_ref[1, r, 0] = jnp.stack([o1[0], o1[1]])
 
@@ -459,7 +491,8 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
 
 def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                         o_ref, *, n1: int, bt: int, in_planes: int,
-                        b8: bool = False, opt_lz: int = 0):
+                        b8: bool = False, opt_lz: int = 0,
+                        chunk: int = 0):
     """Fused tensor product + inverse NTT for one (limb, batch-tile) cell.
 
     x_ref: (4, bt, 1, 2, n1, 128) NTT-domain extended operands
@@ -483,6 +516,8 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
     tws = (tw_ref[0, 1, 0], tw_ref[0, 1, 1])
     a2 = 8 if b8 else 9
     rows = 3 * bt
+    if chunk <= 0:
+        chunk = rows
 
     # prologue: tensor product rows, canonical < p. With a supports_opt
     # modulus each product a*b < p^2 takes the NFLlib single-multiply
@@ -509,43 +544,53 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         tens.append((c0, c1, c2))
 
     # inverse: lane contraction (M2b) first, rows on sublanes; row order
-    # is part-major (c0 rows, c1 rows, c2 rows) to match o_ref layout
-    x2 = jnp.concatenate(
-        [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
-         for q in range(3) for r in range(bt)],
-        axis=0,
-    )  # (rows*n1, Ax*128)
-    c2m = jax.lax.dot_general(
-        x2, m_lane, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    s = _fold_slices(lambda b: c2m[:, b * 128 : (b + 1) * 128], consts,
-        lazy=True, b8=b8, opt_lz=opt_lz)
-    twv_t = (jnp.concatenate([twv[0]] * rows, axis=0),
-             jnp.concatenate([twv[1]] * rows, axis=0))
-    tws_t = (jnp.concatenate([tws[0]] * rows, axis=0),
-             jnp.concatenate([tws[1]] * rows, axis=0))
-    s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
-    if b8:
-        s = zq.reduce1(s, p)
-    x1 = jnp.concatenate(
-        [_extract_sub(s[0][r * n1 : (r + 1) * n1],
-                      s[1][r * n1 : (r + 1) * n1], a2, b8)
-         for r in range(rows)],
-        axis=1,
-    )  # (a2*n1, rows*128)
-    c1m = jax.lax.dot_general(
-        m_sub, x1, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # (B*n1, rows*128)
-    out = _fold_slices(lambda b: c1m[b * n1 : (b + 1) * n1], consts,
-        lazy=False, b8=b8, opt_lz=opt_lz)
+    # is part-major (c0 rows, c1 rows, c2 rows) to match o_ref layout.
+    # `chunk` splits the row batch into independent dot->fold chains: the
+    # fold math is per-row, so chunked dots are bit-identical, and the
+    # independent chains let the VLIW scheduler overlap one chunk's VPU
+    # fold with the next chunk's MXU dot (chunk = rows: single-dot form).
+    qr = [(q, r) for q in range(3) for r in range(bt)]
+    row_outs = [None] * rows
+    for base in range(0, rows, chunk):
+        sub = qr[base : base + chunk]
+        nr = len(sub)
+        x2 = jnp.concatenate(
+            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
+             for q, r in sub],
+            axis=0,
+        )  # (nr*n1, Ax*128)
+        c2m = jax.lax.dot_general(
+            x2, m_lane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = _fold_slices(lambda b: c2m[:, b * 128 : (b + 1) * 128], consts,
+            lazy=True, b8=b8, opt_lz=opt_lz)
+        twv_t = (jnp.concatenate([twv[0]] * nr, axis=0),
+                 jnp.concatenate([twv[1]] * nr, axis=0))
+        tws_t = (jnp.concatenate([tws[0]] * nr, axis=0),
+                 jnp.concatenate([tws[1]] * nr, axis=0))
+        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+        if b8:
+            s = zq.reduce1(s, p)
+        x1 = jnp.concatenate(
+            [_extract_sub(s[0][i * n1 : (i + 1) * n1],
+                          s[1][i * n1 : (i + 1) * n1], a2, b8)
+             for i in range(nr)],
+            axis=1,
+        )  # (a2*n1, nr*128)
+        c1m = jax.lax.dot_general(
+            m_sub, x1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (B*n1, nr*128)
+        out = _fold_slices(lambda b: c1m[b * n1 : (b + 1) * n1], consts,
+            lazy=False, b8=b8, opt_lz=opt_lz)
+        for i in range(nr):
+            row_outs[base + i] = (out[0][:, i * 128 : (i + 1) * 128],
+                                  out[1][:, i * 128 : (i + 1) * 128])
     o_ref[...] = jnp.stack(
         [
-            jnp.stack([out[0][:, r * 128 : (r + 1) * 128]
-                       for r in range(rows)], axis=0),
-            jnp.stack([out[1][:, r * 128 : (r + 1) * 128]
-                       for r in range(rows)], axis=0),
+            jnp.stack([row_outs[r][0] for r in range(rows)], axis=0),
+            jnp.stack([row_outs[r][1] for r in range(rows)], axis=0),
         ],
         axis=1,
     ).reshape(3, bt, 2, n1, 128)[:, :, None]
@@ -565,8 +610,10 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     bp = 8 if b8 else B_PLANES
     a2 = 8 if b8 else 9
 
+    chunk = int(_os.environ.get("TPUFHE_TINTT_CHUNK", "0"))
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
-                     in_planes=in_planes, b8=b8, opt_lz=opt_lz)
+                     in_planes=in_planes, b8=b8, opt_lz=opt_lz,
+                     chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
