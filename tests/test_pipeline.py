@@ -217,3 +217,74 @@ def test_pir_response_pipeline_end_to_end():
     )
     got = np.asarray(sk.try_decrypt(ans).try_decode(Encoding.simd()))
     np.testing.assert_array_equal(got, db_vals[i1, j1])
+
+
+def test_leveled_expand_and_pir_response_db():
+    """MulPIR's production structure (examples/mulpir.rs:83-183): query at
+    level 1, expansion keys LEVELED at key level 0 (the key switch runs in
+    the larger ring and divides back down), relin key at level 1, and the
+    scalable response path (database as a device argument, scan-based
+    deferred dots). The leveled fused expand must match the object API
+    bit-exactly; the response must decrypt to the selected db cell."""
+    from tpufhe.bfv import EvaluationKeyBuilder
+    from tpufhe.pipeline import make_expand, make_pir_response_db
+
+    par = BfvParameters.default(3, 16)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    rk = RelinearizationKey.new(sk, r, ciphertext_level=1, key_level=1)
+    t = par.plaintext.value
+    dim1, dim2 = 4, 2
+    level_count = (dim1 + dim2 - 1).bit_length()
+    ek = (
+        EvaluationKeyBuilder(sk, ciphertext_level=1, evaluation_key_level=0)
+        .enable_expansion(level_count)
+        .build(r)
+    )
+
+    db_vals = RNG.integers(0, t, size=(dim1, dim2, 16), dtype=np.uint64)
+    db = np.stack([
+        np.stack([
+            np.asarray(Plaintext.try_encode(
+                db_vals[i, j], Encoding.simd(1), par).poly_ntt.coeffs)
+            for j in range(dim2)
+        ])
+        for i in range(dim1)
+    ])
+
+    i1, j1 = 3, 1
+    inv2l = pow(1 << level_count, -1, t)
+    q = np.zeros(16, dtype=np.uint64)
+    q[i1] = inv2l
+    q[dim1 + j1] = inv2l
+    ct = sk.try_encrypt(
+        Plaintext.try_encode(q, Encoding.poly(1), par), r)
+
+    expand_fn = make_expand(par, ek, level_count, level=1)
+    resp_fn = make_pir_response_db(par, rk, dim1, dim2, level=1)
+    with jax.disable_jit():
+        e0, e1 = expand_fn(ct[0].coeffs[None], ct[1].coeffs[None])
+
+    # leveled fused expand == object API, bit-exact
+    want = ek.expands(ct, dim1 + dim2)
+    for i, w in enumerate(want):
+        np.testing.assert_array_equal(np.asarray(e0[i, 0]),
+                                      np.asarray(w[0].coeffs))
+        np.testing.assert_array_equal(np.asarray(e1[i, 0]),
+                                      np.asarray(w[1].coeffs))
+
+    with jax.disable_jit():
+        out0, out1 = resp_fn(e0, e1, db)
+
+    from tpufhe.bfv.ciphertext import Ciphertext
+    from tpufhe.ops.rq import NTT, Poly
+
+    ctx = par.context_at_level(1)
+    ans = Ciphertext(
+        par,
+        [Poly(ctx, NTT, np.asarray(out0)[0]),
+         Poly(ctx, NTT, np.asarray(out1)[0])],
+        1,
+    )
+    got = np.asarray(sk.try_decrypt(ans).try_decode(Encoding.simd(1)))
+    np.testing.assert_array_equal(got, db_vals[i1, j1])

@@ -115,19 +115,100 @@ def run_mulpir(database_size=64, elements_size=16, degree=64,
     if report is not None:
         report["query_bytes"] = len(query.to_bytes())
 
-    # server response
-    with timeit("mulpir/expand", report, "expand_s"):
-        expanded = ek_expansion.expands(query, dim1 + dim2)
-    with timeit("mulpir/response", report, "response_s"):
-        query_vec = expanded[:dim1]
-        out = Ciphertext.zero(par)
-        for i, ci in enumerate(expanded[dim1:]):
-            column = preprocessed[i::dim2]
-            dot = dot_product_scalar(query_vec, column)
-            prod = ct_mul(dot, ci)
-            out = prod if not out.c else ct_add(out, prod)
-        rk.relinearizes(out)
-        out.switch_to_level(out.max_switchable_level())
+    # server response — two equivalent paths:
+    #  object API: one dispatch per poly op (the portable default);
+    #  fused (TPUFHE_PIR_FUSED=1, auto on TPU): make_expand +
+    #  make_pir_response_db — the whole server computation in two jitted
+    #  programs with the database as a device argument, which is what
+    #  makes the 65536-element paper config tractable on the tunneled
+    #  runtime (the object path measured ~11 min of dispatch latency
+    #  there; see benches/logs/pir_paper_r3.log).
+    import os as _os
+
+    _fused_env = _os.environ.get("TPUFHE_PIR_FUSED", "")
+    if _fused_env:
+        use_fused = _fused_env == "1"
+    else:
+        try:
+            import jax as _jax
+
+            use_fused = _jax.default_backend() == "tpu"
+        except Exception:
+            use_fused = False
+
+    if use_fused:
+        import jax as _jax
+
+        from tpufhe.ops.rq import NTT as _NTT
+        from tpufhe.ops.rq import Poly as _Poly
+        from tpufhe.pipeline import make_expand, make_pir_response_db
+
+        with timeit("mulpir/db_upload", report, "db_upload_s"):
+            # the encoded database is server-resident state, uploaded once
+            # (not part of per-query response latency)
+            db_arr = _jax.device_put(np.stack([
+                np.stack([
+                    np.asarray(preprocessed[i * dim2 + j].poly_ntt.coeffs)
+                    for j in range(dim2)
+                ])
+                for i in range(dim1)
+            ]))
+            _jax.block_until_ready(db_arr)
+        expand_fn = make_expand(par, ek_expansion, level, level=1)
+        resp_fn = make_pir_response_db(par, rk, dim1, dim2, level=1)
+
+        def _serve(q_ct, suffix=""):
+            with timeit("mulpir/expand" + suffix, report,
+                        "expand%s_s" % suffix):
+                e0, e1 = expand_fn(q_ct[0].coeffs[None],
+                                   q_ct[1].coeffs[None])
+                _jax.block_until_ready((e0, e1))
+                np.asarray(e0[0, 0, 0, 0, 0, :1])  # true sync (CLAUDE.md)
+            with timeit("mulpir/response" + suffix, report,
+                        "response%s_s" % suffix):
+                o0, o1 = resp_fn(e0, e1, db_arr)
+                _jax.block_until_ready((o0, o1))
+                np.asarray(o0[0, 0, 0, 0, :1])
+                ctx1 = par.context_at_level(1)
+                res = Ciphertext(
+                    par,
+                    [_Poly(ctx1, _NTT, o0[0]), _Poly(ctx1, _NTT, o1[0])],
+                    1,
+                )
+                res.switch_to_level(res.max_switchable_level())
+            return res
+
+        out = _serve(query)
+        # optional warm serving-latency measurement: the first call above
+        # pays the one-time program compiles; a SECOND query (different
+        # index, so the memoizing runtime cannot elide it) measures the
+        # steady-state per-query server time
+        if int(_os.environ.get("TPUFHE_PIR_REPEAT", "1")) > 1:
+            idx2 = (index + 1) % database_size
+            q2, _ = _client_query(par, sk, rng, idx2, dim1, dim2,
+                                  elements_size)
+            out2 = _serve(q2, suffix="_warm")
+            pt2 = sk.try_decrypt(out2)
+            v2 = np.asarray(pt2.try_decode(Encoding.poly(out2.level)))
+            b2 = transcode_to_bytes(v2, plaintext_nbits)
+            off2 = idx2 % number_elements_per_plaintext(
+                par.degree(), plaintext_nbits, elements_size)
+            assert bytes(
+                b2[off2 * elements_size : (off2 + 1) * elements_size]
+            ) == database[idx2], "warm query retrieved the wrong element"
+    else:
+        with timeit("mulpir/expand", report, "expand_s"):
+            expanded = ek_expansion.expands(query, dim1 + dim2)
+        with timeit("mulpir/response", report, "response_s"):
+            query_vec = expanded[:dim1]
+            out = Ciphertext.zero(par)
+            for i, ci in enumerate(expanded[dim1:]):
+                column = preprocessed[i::dim2]
+                dot = dot_product_scalar(query_vec, column)
+                prod = ct_mul(dot, ci)
+                out = prod if not out.c else ct_add(out, prod)
+            rk.relinearizes(out)
+            out.switch_to_level(out.max_switchable_level())
     if report is not None:
         report["response_bytes"] = len(out.to_bytes())
 

@@ -182,7 +182,9 @@ def _ksk_digits(ctx, c2_pb):
         r = zq32.reduce_u64_32(digits, jnp.zeros_like(digits), mu0, mu1, p32)
         lifted = r[..., None, :, :]
         return jnp.broadcast_to(
-            lifted, (k,) + c2_pb.shape[:-4] + (k, 1) + c2_pb.shape[-2:]
+            lifted,
+            (c2_pb.shape[-4],) + c2_pb.shape[:-4] + (k, 1)
+            + c2_pb.shape[-2:],
         )
 
     p = _exp2(d.p)
@@ -200,8 +202,11 @@ def _ksk_digits(ctx, c2_pb):
         r = zq.lazy_reduce(dp, bl, bh, p)  # broadcasts limb axis to k
     r = zq.reduce1(r, p)  # canonical: shares the in_bits=62 digit mode
     lifted = _stack(r)
+    # row axis = the INPUT's limb count (differs from ctx.k when the key
+    # switch runs in a larger leveled context); limb axis = ctx.k
     return jnp.broadcast_to(
-        lifted, (k,) + c2_pb.shape[:-4] + (k, 2) + c2_pb.shape[-2:]
+        lifted,
+        (c2_pb.shape[-4],) + c2_pb.shape[:-4] + (k, 2) + c2_pb.shape[-2:],
     )
 
 
@@ -222,7 +227,7 @@ def _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1, const_slice=None):
 
         p32 = _c32(d.p32)
         acc0 = acc1 = None
-        for i in range(k):
+        for i in range(len(ksk_c0)):  # decomposition rows (k_ct, may be < k)
             di = lifted[i][..., 0, :, :]
             t0 = zq32.mul_shoup32(
                 di, ksk_c0[i][0][..., 0, :, :], ksk_c0[i][1][..., 0, :, :],
@@ -240,7 +245,7 @@ def _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1, const_slice=None):
     p = _exp2(d.p)
     acc0 = None
     acc1 = None
-    for i in range(k):
+    for i in range(len(ksk_c0)):  # decomposition rows (k_ct, may be < k)
         di = _pairs(lifted[i])
         t0 = zq.mul_shoup(di, _pairs(ksk_c0[i][0]), _pairs(ksk_c0[i][1]), p)
         t1 = zq.mul_shoup(di, _pairs(ksk_c1[i][0]), _pairs(ksk_c1[i][1]), p)
@@ -627,6 +632,37 @@ def _rotate_step(ctx, perm, ksk_c0, ksk_c1, add_c):
     return rot
 
 
+def _rotate_step_leveled(ctx_ct, ctx_ksk, perm, ksk_c0, ksk_c1, add_c):
+    """Leveled fused rotate: ciphertext at ctx_ct, key switch in the
+    LARGER ctx_ksk (galois_key.rs:62-87 with galois_key_level <
+    ciphertext_level). The substituted c1's garner digits are reduced mod
+    every ksk modulus, lifted with one lazy NTT over ctx_ksk, accumulated
+    against the ksk rows there, then divide+rounded back down to ctx_ct
+    (Poly.switch_down semantics, eprint 2018/931 Alg. 2) — the extra
+    modulus divides the key-switch noise, which is what makes deep
+    oblivious expansions (MulPIR level_count=7) decryptable."""
+    perm_j = jnp.asarray(perm)
+
+    def rot(c0, c1):
+        s0 = _fold(jnp.take(_unfold(c0), perm_j, axis=-1))
+        s1 = _fold(jnp.take(_unfold(c1), perm_j, axis=-1))
+        c2_pb = ntt_backward_any(ctx_ct, s1, in_bits=62)
+        digits = _ksk_digits(ctx_ksk, c2_pb)  # (k_ct, ..., k_ksk, 2|1, S, L)
+        lifted = ntt_forward_any(ctx_ksk, digits, lazy=True, in_bits=62)
+        ks0, ks1 = _ksk_accumulate(ctx_ksk, lifted, ksk_c0, ksk_c1)
+        ks_pb = ntt_backward_any(ctx_ksk, jnp.stack([ks0, ks1]), in_bits=62)
+        from tpufhe.ops.rq import _switch_down_fn
+
+        cur = ctx_ksk
+        while cur is not ctx_ct:
+            ks_pb = _switch_down_fn(cur)(ks_pb)
+            cur = cur.next_context
+        ks = ntt_forward_any(ctx_ct, ks_pb, in_bits=62)
+        return add_c(ks[0], s0), ks[1]
+
+    return rot
+
+
 def make_inner_sum(par: BfvParameters, ek, level: int = 0):
     """Jitted inner sum: log2(n/2) column rotations + 1 row rotation, each
     a fused substitute+key-switch, accumulated in ONE program
@@ -678,12 +714,17 @@ def build_expand_step(par: BfvParameters, ek, level_count: int,
             _ksk_consts(gk.ksk),
             _np_pairs(mono.coeffs),
             _np_pairs(mono.coeffs_shoup),
+            gk.ksk.ctx_ksk,  # leveled keys switch in the larger context
         ))
 
     def step(c0, c1):
         cur0, cur1 = c0[None], c1[None]  # (1, B, ...)
-        for perm, (kc0, kc1), mono, mono_s in levels:
-            rot = _rotate_step(ctx, perm, kc0, kc1, add_c)
+        for perm, (kc0, kc1), mono, mono_s, ctx_ksk in levels:
+            if ctx_ksk is ctx:
+                rot = _rotate_step(ctx, perm, kc0, kc1, add_c)
+            else:
+                rot = _rotate_step_leveled(ctx, ctx_ksk, perm, kc0, kc1,
+                                           add_c)
             sub0, sub1 = rot(cur0, cur1)
             new0 = mul_s(sub_c(cur0, sub0), mono, mono_s)
             new1 = mul_s(sub_c(cur1, sub1), mono, mono_s)
@@ -770,6 +811,123 @@ def make_pir_response(par: BfvParameters, ek, rk, db_pts, dim1: int,
             ])
 
         t_pb = ntt_backward_any(ctx_mul, acc, in_bits=62)
+        dsc = down_rns.scale(t_pb, starting_index=0, size=k)
+        digits = _ksk_digits(ctx, dsc[2])
+        stacked = jnp.concatenate([dsc[:2], digits], axis=0)
+        ntts = ntt_forward_any(ctx, stacked, in_bits=62)
+        c01, lifted = ntts[:2], ntts[2:]
+        ks0, ks1 = _ksk_accumulate(ctx, lifted, ksk_c0, ksk_c1)
+        return add_c(c01[0], ks0), add_c(c01[1], ks1)
+
+    return jax.jit(step)
+
+
+def make_pir_response_db(par: BfvParameters, rk, dim1: int, dim2: int,
+                         level: int = 0):
+    """Paper-scale MulPIR server response: jitted
+    (e0, e1, db) -> (c0, c1).
+
+    Unlike make_pir_response (which unrolls the dim1 x dim2 loops in
+    Python and bakes the database into the executable — fine at bench
+    scale, ~400 MB of constants and a 10^5-node graph at the 65536-element
+    paper config), this takes the EXPANDED query arrays (from make_expand)
+    plus the database as a device argument, and runs both dot products as
+    lax.scan's with deferred u128 accumulation:
+
+      - first dimension (examples/mulpir.rs:168-174): resp_j =
+        sum_i db[i,j] * exp_i accumulates raw 128-bit products and
+        Barrett-reduces once per headroom window (rq/ops.rs:448-550
+        semantics, so results match dot_product_scalar bit-exactly);
+      - second dimension (mulpir.rs:176-183): the degree-2 tensor
+        sum_j exp2_j (x) resp_j accumulates in the multiplication basis
+        BEFORE the single down-scale + relinearize.
+
+    e0/e1: (E >= dim1+dim2, B, k, 2, S, L) expanded NTT rows;
+    db: (dim1, dim2, k, 2, S, L) plaintext NTT residues (pt.poly_ntt).
+    """
+    ctx_lvl = par.context_level_at(level)
+    ctx = ctx_lvl.poly_context
+    if ctx.narrow:
+        raise NotImplementedError("narrow (w30) PIR response path")
+    mp = ctx_lvl.mul_params()
+    ctx_mul = mp.extender.to_ctx
+    k, k_mul = ctx.k, ctx_mul.k
+    ext_rns = mp.extender.rns_scaler
+    down_rns = mp.down_scaler.rns_scaler
+    _, add_c = _ops_for(ctx)
+    ksk_c0, ksk_c1 = _ksk_consts(rk.ksk)
+    d, dm = ctx.dev, ctx_mul.dev
+    p, bl, bh = _exp2(d.p), _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+    pm, blm, bhm = _exp2(dm.p), _exp2(dm.barrett_lo), _exp2(dm.barrett_hi)
+    # headroom windows (rq.dot_product): sum of w products < p^2 each
+    # stays under 2^128 while w < 2^(2*leading_zeros)
+    win1 = max(1, min(1 << (2 * q.leading_zeros) for q in ctx.q) - 2)
+    win2 = max(1, (min(1 << (2 * q.leading_zeros) for q in ctx_mul.q) - 2)
+               // 2)  # the c1 row adds TWO products per scan step
+
+    def _chunked_scan(body, acc, xs, n, win, reduce_consts):
+        cbl, cbh, cp = reduce_consts
+        start = 0
+        while start < n:
+            stop = min(n, start + win)
+            acc, _ = jax.lax.scan(
+                body, acc, tuple(x[start:stop] for x in xs))
+            if stop < n:
+                out = [zq.reduce_u128(a, cbl, cbh, cp) for a in acc]
+                acc = tuple((lo, hi, jnp.zeros_like(lo), jnp.zeros_like(lo))
+                            for lo, hi in out)
+            start = stop
+        return tuple(zq.reduce_u128(a, cbl, cbh, cp) for a in acc)
+
+    def step(e0, e1, db):
+        assert e0.shape[0] >= dim1 + dim2 and db.shape[:2] == (dim1, dim2)
+        # --- first dimension: resp_j = sum_i db[i,j] * exp_i ---
+        q = jnp.stack([e0[:dim1], e1[:dim1]], axis=1)  # (dim1,2,B,k,2,S,L)
+        zero = jnp.zeros((2, dim2) + q.shape[2:-3] + q.shape[-2:],
+                         jnp.uint32)
+        acc0 = (zero, zero, zero, zero)
+
+        def pt_body(acc, x):
+            (a4,) = acc
+            qi, dbi = x  # (2, B, k, 2, S, L), (dim2, k, 2, S, L)
+            a = _pairs(qi[:, None])          # (2, 1, B, k, S, L)
+            b = _pairs(dbi[None, :, None])   # (1, dim2, 1, k, S, L)
+            return (u64.mp_mul_pair(a4, a, b),), None
+
+        r = _chunked_scan(pt_body, (acc0,), (q, db), dim1, win1,
+                          (bl, bh, p))[0]
+        resp = jnp.stack(r, axis=-3)  # (2, dim2, B, k, 2, S, L)
+
+        # --- extend selectors + responses to the multiplication basis ---
+        sel = jnp.stack([e0[dim1 : dim1 + dim2],
+                         e1[dim1 : dim1 + dim2]], axis=0)
+        both = jnp.concatenate([sel, resp], axis=0)  # (4, dim2, B, ...)
+        pb = ntt_backward_any(ctx, both, in_bits=62)
+        new_rows = ext_rns.scale(pb, starting_index=k, size=k_mul - k)
+        new_rows = ntt_forward_any(ctx_mul, new_rows,
+                                   limb_slice=slice(k, k_mul), in_bits=62)
+        ext = jnp.concatenate([both, new_rows], axis=-4)
+
+        # --- second dimension: accumulated tensor over j ---
+        xs = jnp.moveaxis(ext, 1, 0)  # (dim2, 4, B, k_mul, 2, S, L)
+        zt = jnp.zeros(xs.shape[2:-3] + xs.shape[-2:], jnp.uint32)
+        acct = tuple((zt, zt, zt, zt) for _ in range(3))
+
+        def tensor_body(acc, x):
+            (xi,) = x
+            s0, s1, r0, r1 = (_pairs(xi[i]) for i in range(4))
+            a0, a1, a2v = acc
+            a0 = u64.mp_mul_pair(a0, s0, r0)
+            a1 = u64.mp_mul_pair(u64.mp_mul_pair(a1, s0, r1), s1, r0)
+            a2v = u64.mp_mul_pair(a2v, s1, r1)
+            return (a0, a1, a2v), None
+
+        t3 = _chunked_scan(tensor_body, acct, (xs,), dim2, win2,
+                           (blm, bhm, pm))
+        tt = jnp.stack([jnp.stack(t, axis=-3) for t in t3])
+
+        # --- one down-scale + relinearize (mul+relin tail) ---
+        t_pb = ntt_backward_any(ctx_mul, tt, in_bits=62)
         dsc = down_rns.scale(t_pb, starting_index=0, size=k)
         digits = _ksk_digits(ctx, dsc[2])
         stacked = jnp.concatenate([dsc[:2], digits], axis=0)
