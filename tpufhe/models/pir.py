@@ -227,61 +227,154 @@ def run_mulpir(database_size=64, elements_size=16, degree=64,
 
 
 def run_sealpir(database_size=64, elements_size=16, degree=64,
-                plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=23):
-    """End-to-end SealPIR with ciphertext-as-plaintext folding."""
+                plaintext_modulus=None, moduli_sizes=(50, 55, 55), seed=23,
+                report: dict | None = None):
+    """End-to-end SealPIR with ciphertext-as-plaintext folding.
+
+    Like run_mulpir, the server phases have two equivalent paths: the
+    per-op object API, and (TPUFHE_PIR_FUSED=1, auto on TPU) the fused
+    programs — make_expand for the oblivious expansion and
+    make_ct_pt_dot for both dot phases (sealpir.rs:150-201); the fold in
+    between is a host-side transcode either way.
+    """
+    from tpufhe.utils.obs import timeit
+
     if plaintext_modulus is None:
         from tpufhe.utils.primes import generate_prime
 
         plaintext_modulus = generate_prime(16, 2 * degree, 1 << 16)
-    par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
-        degree, plaintext_modulus, moduli_sizes, database_size, elements_size,
-        seed,
-    )
+    with timeit("sealpir/setup", report, "setup_s"):
+        par, rng, database, preprocessed, dim1, dim2 = _pir_setup(
+            degree, plaintext_modulus, moduli_sizes, database_size,
+            elements_size, seed,
+        )
     t = par.plaintext.value
     plaintext_nbits = t.bit_length() - 1
     q0_bits = par.moduli[0].bit_length()
+    if report is not None:
+        report["dims"] = (dim1, dim2)
 
-    sk = SecretKey.random(par, rng)
-    level = max((dim1 + dim2 - 1).bit_length(), 1)
-    ek_expansion = (
-        EvaluationKeyBuilder(sk, ciphertext_level=1, evaluation_key_level=0)
-        .enable_expansion(level)
-        .build(rng)
-    )
+    with timeit("sealpir/keygen", report, "keygen_s"):
+        sk = SecretKey.random(par, rng)
+        level = max((dim1 + dim2 - 1).bit_length(), 1)
+        ek_expansion = (
+            EvaluationKeyBuilder(sk, ciphertext_level=1,
+                                 evaluation_key_level=0)
+            .enable_expansion(level)
+            .build(rng)
+        )
 
     index = int(np.random.default_rng(seed).integers(0, database_size))
-    query, level = _client_query(par, sk, rng, index, dim1, dim2, elements_size)
+    with timeit("sealpir/query", report, "query_s"):
+        query, level = _client_query(par, sk, rng, index, dim1, dim2,
+                                     elements_size)
 
-    # server: first-dimension inner products, mod-switched to the last level
-    expanded = ek_expansion.expands(query, dim1 + dim2)
-    query_vec = expanded[:dim1]
-    dot_products = []
-    for i in range(dim2):
-        c = dot_product_scalar(query_vec, preprocessed[i::dim2])
-        c.switch_to_level(c.max_switchable_level())
-        dot_products.append(c)
+    import os as _os
+
+    _fused_env = _os.environ.get("TPUFHE_PIR_FUSED", "")
+    if _fused_env:
+        use_fused = _fused_env == "1"
+    else:
+        try:
+            import jax as _jax
+
+            use_fused = _jax.default_backend() == "tpu"
+        except Exception:
+            use_fused = False
+
+    ctx1 = par.context_at_level(1)
+    if use_fused:
+        import jax as _jax
+
+        from tpufhe.pipeline import make_ct_pt_dot, make_expand
+
+        with timeit("sealpir/db_upload", report, "db_upload_s"):
+            db_arr = _jax.device_put(np.stack([
+                np.stack([
+                    np.asarray(preprocessed[i * dim2 + j].poly_ntt.coeffs)
+                    for j in range(dim2)
+                ])
+                for i in range(dim1)
+            ]))
+            _jax.block_until_ready(db_arr)
+        expand_fn = make_expand(par, ek_expansion, level, level=1)
+        dot1_fn = make_ct_pt_dot(par, dim1, dim2, level=1)
+        with timeit("sealpir/expand", report, "expand_s"):
+            e0, e1 = expand_fn(query[0].coeffs[None], query[1].coeffs[None])
+            _jax.block_until_ready((e0, e1))
+            np.asarray(e0[0, 0, 0, 0, 0, :1])  # true sync (CLAUDE.md)
+        with timeit("sealpir/dot1", report, "dot1_s"):
+            r0, r1 = dot1_fn(e0, e1, db_arr)
+            _jax.block_until_ready((r0, r1))
+            np.asarray(r0[0, 0, 0, 0, 0, :1])
+            dot_products = []
+            for j in range(dim2):
+                c = Ciphertext(
+                    par,
+                    [Poly(ctx1, NTT, r0[j, 0]), Poly(ctx1, NTT, r1[j, 0])],
+                    1)
+                c.switch_to_level(c.max_switchable_level())
+                dot_products.append(c)
+    else:
+        # server: first-dimension inner products, mod-switched down
+        with timeit("sealpir/expand", report, "expand_s"):
+            expanded = ek_expansion.expands(query, dim1 + dim2)
+        with timeit("sealpir/dot1", report, "dot1_s"):
+            query_vec = expanded[:dim1]
+            dot_products = []
+            for i in range(dim2):
+                c = dot_product_scalar(query_vec, preprocessed[i::dim2])
+                c.switch_to_level(c.max_switchable_level())
+                dot_products.append(c)
 
     # fold each response ciphertext into plaintexts (NTT-domain coefficients
     # transcoded into the plaintext space, sealpir.rs:176-201)
-    folds = []
-    for c in dot_products:
-        pt_values = []
-        for part in (c[0], c[1]):
-            coeffs = part.to_u64_matrix()[0]  # single limb at the last level
-            pt_values.extend(
-                transcode_bidirectional(coeffs, q0_bits, plaintext_nbits)
+    with timeit("sealpir/fold", report, "fold_s"):
+        folds = []
+        for c in dot_products:
+            pt_values = []
+            for part in (c[0], c[1]):
+                coeffs = part.to_u64_matrix()[0]  # single limb, last level
+                pt_values.extend(
+                    transcode_bidirectional(coeffs, q0_bits, plaintext_nbits)
+                )
+            folds.append(
+                PlaintextVec.try_encode(pt_values, Encoding.poly(1), par)
             )
-        folds.append(
-            PlaintextVec.try_encode(pt_values, Encoding.poly(1), par)
-        )
 
-    responses = []
-    for i in range(len(folds[0])):
-        outi = dot_product_scalar(
-            expanded[dim1:], [f[i] for f in folds]
-        )
-        outi.switch_to_level(outi.max_switchable_level())
-        responses.append(outi)
+    with timeit("sealpir/dot2", report, "dot2_s"):
+        nfold = len(folds[0])
+        if use_fused:
+            pts2 = np.stack([
+                np.stack([np.asarray(folds[j][f].poly_ntt.coeffs)
+                          for f in range(nfold)])
+                for j in range(dim2)
+            ])  # (dim2, nfold, k, 2, S, L)
+            dot2_fn = make_ct_pt_dot(par, dim2, nfold, level=1)
+            s0 = e0[dim1 : dim1 + dim2]
+            s1 = e1[dim1 : dim1 + dim2]
+            o0, o1 = dot2_fn(s0, s1, pts2)
+            _jax.block_until_ready((o0, o1))
+            np.asarray(o0[0, 0, 0, 0, 0, :1])
+            responses = []
+            for f in range(nfold):
+                c = Ciphertext(
+                    par,
+                    [Poly(ctx1, NTT, o0[f, 0]), Poly(ctx1, NTT, o1[f, 0])],
+                    1)
+                c.switch_to_level(c.max_switchable_level())
+                responses.append(c)
+        else:
+            responses = []
+            for i in range(nfold):
+                outi = dot_product_scalar(
+                    expanded[dim1:], [f[i] for f in folds]
+                )
+                outi.switch_to_level(outi.max_switchable_level())
+                responses.append(outi)
+    if report is not None:
+        report["query_bytes"] = len(query.to_bytes())
+        report["response_bytes"] = sum(len(r.to_bytes()) for r in responses)
 
     # client: decrypt outer, reassemble the inner ciphertext, decrypt again
     decrypted = []
@@ -350,8 +443,7 @@ def main(argv=None):
             (1 << 20) + (1 << 19) + (1 << 17) + (1 << 16) + (1 << 14) + 1)
     run = run_mulpir if args.scheme == "mulpir" else run_sealpir
     report: dict = {}
-    if args.scheme == "mulpir":
-        kwargs["report"] = report
+    kwargs["report"] = report
     t0 = time.perf_counter()
     got, want = run(
         database_size=args.database_size, elements_size=args.element_size,

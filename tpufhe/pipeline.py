@@ -939,6 +939,54 @@ def make_pir_response_db(par: BfvParameters, rk, dim1: int, dim2: int,
     return jax.jit(step)
 
 
+def make_ct_pt_dot(par: BfvParameters, n: int, m: int, level: int = 0):
+    """Jitted batched ciphertext x plaintext dot products:
+    (e0, e1, db) -> (r0, r1) with r_j = sum_{i<n} db[i, j] * e_i.
+
+    The scan-based core of make_pir_response_db's first dimension as a
+    standalone program (dot_product_scalar / rq/ops.rs:448-550 semantics:
+    deferred u128 accumulation, Barrett-reduced once per headroom window
+    — results are bit-identical to the object API). Serves SealPIR's two
+    server dot phases (sealpir.rs:150-201) at paper scale, where the
+    per-op object path is dispatch-latency-bound on the tunneled runtime.
+
+    e0/e1: (>= n, B, k, 2, S, L) NTT ciphertext parts; db: (n, m, k, 2,
+    S, L) plaintext NTT residues; returns two (m, B, k, 2, S, L) arrays.
+    """
+    ctx = par.context_at_level(level)
+    if ctx.narrow:
+        raise NotImplementedError("narrow (w30) ct-pt dot path")
+    d = ctx.dev
+    p, bl, bh = _exp2(d.p), _exp2(d.barrett_lo), _exp2(d.barrett_hi)
+    win = max(1, min(1 << (2 * q.leading_zeros) for q in ctx.q) - 2)
+
+    def step(e0, e1, db):
+        assert e0.shape[0] >= n and db.shape[:2] == (n, m)
+        q = jnp.stack([e0[:n], e1[:n]], axis=1)  # (n, 2, B, k, 2, S, L)
+        zero = jnp.zeros((2, m) + q.shape[2:-3] + q.shape[-2:], jnp.uint32)
+        acc = (zero, zero, zero, zero)
+
+        def body(a4, x):
+            qi, dbi = x
+            a = _pairs(qi[:, None])
+            b = _pairs(dbi[None, :, None])
+            return u64.mp_mul_pair(a4, a, b), None
+
+        start = 0
+        while start < n:
+            stop = min(n, start + win)
+            acc, _ = jax.lax.scan(body, acc, (q[start:stop], db[start:stop]))
+            if stop < n:
+                lo, hi = zq.reduce_u128(acc, bl, bh, p)
+                acc = (lo, hi, jnp.zeros_like(lo), jnp.zeros_like(lo))
+            start = stop
+        lo, hi = zq.reduce_u128(acc, bl, bh, p)
+        r = jnp.stack((lo, hi), axis=-3)  # (2, m, B, k, 2, S, L)
+        return r[0], r[1]
+
+    return jax.jit(step)
+
+
 def make_add(par: BfvParameters, level: int = 0):
     ctx = par.context_at_level(level)
 
