@@ -160,8 +160,14 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
     return ops
 
 
-def bench_enc_dec(batch, iters):
-    """Config #1: symmetric enc + decrypt-phase roundtrip at N=2048/L=1."""
+def bench_enc_dec(batch, iters, inner=None):
+    """Config #1: symmetric enc + decrypt-phase roundtrip at N=2048/L=1.
+
+    `inner` roundtrips are chained INSIDE one jit program (fori_loop), the
+    same methodology as the headline config — the per-roundtrip device
+    work at N=2048/L=1 is far smaller than the ~10 ms tunnel dispatch, so
+    the unchained form measured dispatch latency, not the kernels
+    (VERDICT r3 weak #4)."""
     import jax
     import jax.numpy as jnp
 
@@ -169,6 +175,9 @@ def bench_enc_dec(batch, iters):
         make_decrypt_phase,
         make_encrypt_with_seed_expansion,
     )
+
+    if inner is None:
+        inner = int(os.environ.get("BENCH_INNER_ED", 16))
 
     degree = 2048
     par = _build_params(degree, 62, 1)
@@ -189,17 +198,22 @@ def bench_enc_dec(batch, iters):
     def glue(d):
         return (d[..., :1, :, :, :] & mask).astype(jnp.uint32)
 
-    b = enc(a, e, m)
-    d = dec(b, a)
-    _sync(d)
+    @partial(jax.jit, donate_argnums=(2,))
+    def prog(a, e, m):
+        def body(_, m):
+            b = enc(a, e, m)
+            return glue(dec(b, a))
+
+        return jax.lax.fori_loop(0, inner, body, m)
+
+    m = prog(a, e, m)
+    _sync(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        m = glue(d)
-        b = enc(a, e, m)
-        d = dec(b, a)
-    _sync(d)
+        m = prog(a, e, m)
+    _sync(m)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     _emit("bfv_encrypt_decrypt_roundtrip_n2048_l1", ops,
           "enc+dec_roundtrips/s/chip", batch=batch)
     return ops
@@ -238,10 +252,19 @@ def bench_add_ptmul(batch, iters):
     return ops
 
 
-def bench_rotate(batch, iters):
-    """Config #4: Galois rotation (substitute+key switch) at N=8192/L=4."""
+def bench_rotate(batch, iters, inner=None):
+    """Config #4: Galois rotation (substitute+key switch) at N=8192/L=4.
+
+    `inner` rotations chained inside one program (headline methodology);
+    each iteration applies the same Galois element to the previous output,
+    so inputs stay fresh and executions cannot be memoized."""
+    import jax
+
     from tpufhe.bfv import GaloisKey
     from tpufhe.pipeline import make_rotate
+
+    if inner is None:
+        inner = int(os.environ.get("BENCH_INNER_ROT", 8))
 
     degree = 8192
     par = _build_params(degree, 62, 4)
@@ -251,15 +274,22 @@ def bench_rotate(batch, iters):
     ctx = par.context_at_level(0)
     c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=3)
 
-    out = fn(c0, c1)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def prog(c0, c1):
+        def body(_, c):
+            return fn(c[0], c[1])
+
+        return jax.lax.fori_loop(0, inner, body, (c0, c1))
+
+    out = prog(c0, c1)
     _sync(out)
     x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1 = fn(x0, x1)
+        x0, x1 = prog(x0, x1)
     _sync(x0, x1)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     _emit("bfv_rotate_columns_n8192_l4", ops, "rotations/s/chip",
           batch=batch)
     return ops
@@ -298,46 +328,122 @@ def bench_inner_sum(batch, iters):
 
 def bench_dot_product(iters, count=128):
     """Config #4c: optimized ct-pt dot product of `count` pairs
-    (bfv_optimized_ops.rs:19-70), u128 lazy accumulation, one program.
-    The ciphertext-count axis IS the leading axis; each step chains the
-    dot result back into the inputs so executions cannot be memoized."""
-    import jax
-    import jax.numpy as jnp
+    (bfv_optimized_ops.rs:19-70), u128 lazy accumulation.
 
-    from tpufhe.ops import rq as rq_mod
+    Round-4 rewire (VERDICT r3 item 8): the old form unrolled `count`
+    Poly objects in Python — a 10^4-node graph of per-pair slices that
+    XLA executed as hundreds of small kernels (33/s, entirely
+    graph/dispatch-bound, NOT arithmetic-bound). This uses the
+    lax.scan-based make_ct_pt_dot (the PIR serving core — deferred u128
+    accumulation, one Barrett reduce per headroom window, bit-identical
+    results per rq/ops.rs:448-550 semantics); the db rides as a device
+    argument. Chained: the dot result folds back into every input."""
+    import jax
+
     from tpufhe.ops.rq import NTT, Poly
+    from tpufhe.pipeline import make_ct_pt_dot
 
     degree = 8192
     par = _build_params(degree, 62, 4)
     ctx = par.context_at_level(0)
+    dot = make_ct_pt_dot(par, count, 1)
 
-    c0, c1 = _rand_ct_arrays(ctx, count, degree, count=2, seed=5)
-    pts = np.asarray(_rand_ct_arrays(ctx, count, degree, count=1,
-                                     seed=100)[0])  # baked constant
+    e0, e1 = (a[:, None] for a in
+              _rand_ct_arrays(ctx, count, degree, count=2, seed=5))
+    db = np.asarray(_rand_ct_arrays(ctx, count, degree, count=1,
+                                    seed=100)[0])[:, None]  # (n, 1, ...)
+    import jax.numpy as jnp
+
+    db = jax.device_put(jnp.asarray(db))
 
     @jax.jit
-    def step(cts0, cts1):
-        ps0 = [Poly(ctx, NTT, cts0[i]) for i in range(count)]
-        ps1 = [Poly(ctx, NTT, cts1[i]) for i in range(count)]
-        qs = [Poly(ctx, NTT, jnp.asarray(pts[i])) for i in range(count)]
-        d0 = rq_mod.dot_product(ps0, qs)
-        d1 = rq_mod.dot_product(ps1, qs)
-        # chain: fold the result back into every input ciphertext
-        n0 = (Poly(ctx, NTT, cts0) + d0).coeffs
-        n1 = (Poly(ctx, NTT, cts1) + d1).coeffs
+    def step(e0, e1, db):
+        r0, r1 = dot(e0, e1, db)  # (m=1, B=1, k, 2, S, L)
+        n0 = (Poly(ctx, NTT, e0) + Poly(ctx, NTT, r0)).coeffs
+        n1 = (Poly(ctx, NTT, e1) + Poly(ctx, NTT, r1)).coeffs
         return n0, n1
 
-    out = step(c0, c1)
+    out = step(e0, e1, db)
     _sync(out)
     x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1 = step(x0, x1)
+        x0, x1 = step(x0, x1, db)
     _sync(x0, x1)
     dt = time.perf_counter() - t0
     ops = iters / dt
     _emit(f"bfv_dot_product_{count}_n8192_l4", ops,
           "dot_products/s/chip", pairs=count)
+    return ops
+
+
+def bench_mbfv(iters, parties=11, batch=8):
+    """Config #6 (VERDICT r3 item 9): one multiparty round on the TPU —
+    collective public-key generation (Protocol 1, public_key_gen.rs:16-79:
+    p0 = sum_i(-a*s_i + e_i) against the CRP) plus collective decryption
+    (secret_key_switch.rs:118-193: h = sum_i(s_i*c1 + e_i), phase + t/q
+    scale) for `parties` parties x `batch` ciphertexts, fused into ONE
+    program with the party axis leading (the batched.py mapping). Chained:
+    the aggregated keygen/decryption outputs become the next (c0, c1)."""
+    import jax
+
+    from tpufhe.ops.rq import NTT, POWER_BASIS, Poly, _reduce_i64_fn
+    from tpufhe.utils.sampling import sample_vec_cbd
+    from tpufhe.mbfv.batched import _stack_raw_i64
+
+    degree = 4096
+    par = _build_params(degree, 62, 2)
+    ctx = par.context_at_level(0)
+    ctx_lvl = par.context_level_at(0)
+    scaler = ctx_lvl.cipher_plain_context.scaler
+    sk, _, rng = _keys(par, relin=False)
+
+    s_rows = np.stack([
+        np.asarray(sample_vec_cbd(degree, par.variance, rng), np.int64)
+        for _ in range(parties)
+    ])
+    e_rows = np.stack([
+        np.asarray(sample_vec_cbd(degree, par.variance, rng), np.int64)
+        for _ in range(parties)
+    ])
+    s_raw = _stack_raw_i64(s_rows, ctx)[:, None]  # (P, 1, k, 2, S, L)
+    e_raw = _stack_raw_i64(e_rows, ctx)[:, None]
+    reduce_i64 = _reduce_i64_fn(ctx)
+    c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=9)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(c0, c1, s_raw, e_raw):
+        s = Poly(ctx, POWER_BASIS, reduce_i64(s_raw)).into_ntt()
+        e = Poly(ctx, POWER_BASIS, reduce_i64(e_raw)).into_ntt()
+        a = Poly(ctx, NTT, c1)  # CRP stand-in, batched
+        # Protocol 1: per-party shares + aggregation (Aggregate = sum)
+        p0 = ((-a) * s) + e  # (P, B, ...)
+        pk0 = p0.coeffs[0]
+        for i in range(1, parties):
+            pk0 = (Poly(ctx, NTT, pk0) + Poly(ctx, NTT, p0.coeffs[i])).coeffs
+        # collective decryption: shares, aggregate, phase, t/q scale
+        h = (s * a) + e
+        hsum = h.coeffs[0]
+        for i in range(1, parties):
+            hsum = (Poly(ctx, NTT, hsum) + Poly(ctx, NTT, h.coeffs[i])).coeffs
+        phase = Poly(ctx, NTT, c0) + Poly(ctx, NTT, hsum)
+        d = scaler.scale(phase.into_power_basis())
+        # chain: aggregated outputs feed the next round's ciphertext
+        return pk0, phase.coeffs, d.coeffs
+
+    out = prog(c0, c1, s_raw, e_raw)
+    _sync(out)
+    x0, x1 = out[0], out[1]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x0, x1, d = prog(x0, x1, s_raw, e_raw)
+    _sync(x0, x1, d)
+    dt = time.perf_counter() - t0
+    ops = batch * iters / dt
+    _emit("mbfv_keygen_plus_decrypt_n4096_l2", ops,
+          "collective_rounds/s/chip", batch=batch, parties=parties)
     return ops
 
 
@@ -456,6 +562,7 @@ def main():
                                                  iters=max(3, iters // 3))),
             ("dotproduct", lambda: bench_dot_product(
                 iters=max(3, iters // 3))),
+            ("mbfv", lambda: bench_mbfv(iters=max(3, iters // 3))),
             ("mulrelin16384", lambda: bench_mul_relin(
                 16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
                 metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b",
@@ -464,12 +571,22 @@ def main():
                 batch=max(2, batch // 16), iters=2)),
         ):
             if not within_budget():
-                _emit(f"skipped_{name}", -1.0, "budget_exceeded")
+                _emit(f"skipped_{name}", -1.0, "budget_exceeded",
+                      status="skipped")
                 continue
-            try:
-                fn()
-            except Exception as e:
-                _emit(f"failed_{name}", -1.0, "error", error=str(e)[:160])
+            # self-triaging (VERDICT r3 item 10): retry once so a
+            # transient tunnel/compile-service failure is distinguishable
+            # from a deterministic kernel regression in the record
+            for attempt in (0, 1):
+                try:
+                    fn()
+                    break
+                except Exception as e:
+                    if attempt == 0:
+                        time.sleep(10)
+                        continue
+                    _emit(f"failed_{name}", -1.0, "error", status="failed",
+                          retried=True, error=str(e)[:160])
         if os.environ.get("BENCH_SCALING", "1") == "1" and within_budget():
             bench_scaling()
 

@@ -4,31 +4,28 @@ Multi-chip sharding logic is validated on host platform devices
 (XLA_FLAGS=--xla_force_host_platform_device_count=8), mirroring the
 reference's in-process multi-party tests (SURVEY.md section 4.8). Real-TPU
 benchmarking happens in bench.py, not here.
+
+The XLA flag set is the canonical one from tpufhe.hostflags — shared with
+__graft_entry__.dryrun_multichip so the expensive sharded-pipeline compile
+cache entries (keyed on the serialized compile options, i.e. on these
+flags) are written once and hit by both. Do not add/remove flags here
+without changing hostflags.py instead.
 """
 
 import os
+import sys
 
 # The harness environment pins JAX_PLATFORMS=axon (a tunneled TPU with slow
 # cold init). Tests must run on the virtual CPU mesh, so force-override.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# The fused integer pipelines produce single fusions with thousands of LLVM
-# instructions; at the default backend opt level the CPU compile of one such
-# program takes >10 minutes on this 1-core host. Opt level 0 compiles the
-# same (bit-exact) program in seconds. TPU runs (bench.py) are unaffected.
-if "xla_backend_optimization_level" not in flags:
-    flags = (flags + " --xla_backend_optimization_level=0"
-             " --xla_llvm_disable_expensive_passes=true"
-             " --xla_cpu_use_thunk_runtime=false").strip()
-# This host has ONE core; the default multi-threaded Eigen pool spawns 8
-# spinning workers that multiply the cost of every eager dispatch (keygen
-# and reference paths) several-fold. Collectives on the virtual mesh were
-# verified to work single-threaded (psum + tiled all_to_all).
-if "xla_cpu_multi_thread_eigen" not in flags:
-    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
-os.environ["XLA_FLAGS"] = flags
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
+from tpufhe.hostflags import apply_cpu_mesh_flags  # noqa: E402
+
+apply_cpu_mesh_flags(8)
 
 import jax  # noqa: E402
 

@@ -59,3 +59,34 @@ def test_b8_parity(inverse, lazy):
         a8 = v8[:, i].astype(object)
         assert (a8 < 2 * p).all()
         np.testing.assert_array_equal(a7 % p, a8 % p)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_bc_extract_parity(inverse, monkeypatch):
+    """Bitcast digit extraction (TPUFHE_BC_EXTRACT=1): byte-reinterpret
+    data planes + permuted matrices == the shift/mask extraction,
+    bit-identical canonical outputs."""
+    plan = _plan()
+    x = np.asarray(_rand_canonical(2))
+    c8 = build_mxu4_consts(plan, inverse, 8, b8=True)
+    out8 = np.asarray(mxu4_pallas(x, c8, inverse=inverse, interpret=True,
+                                  b8=True))
+    monkeypatch.setenv("TPUFHE_BC_EXTRACT", "1")
+    cbc = build_mxu4_consts(plan, inverse, 8, b8=True, bc=True)
+    outbc = np.asarray(mxu4_pallas(x, cbc, inverse=inverse, interpret=True,
+                                   b8=True))
+    np.testing.assert_array_equal(outbc, out8)
+
+
+def test_bc_extract_tensor_intt_parity(monkeypatch):
+    """bc mode through the fused tensor+iNTT kernel."""
+    from tpufhe.ops.pallas.mxu_ntt_kernel import tensor_intt_pallas
+
+    plan = _plan()
+    a = np.stack([np.asarray(_rand_canonical(2)) for _ in range(4)])
+    c8 = build_mxu4_consts(plan, True, 8, b8=True)
+    want = np.asarray(tensor_intt_pallas(a, c8, interpret=True, b8=True))
+    monkeypatch.setenv("TPUFHE_BC_EXTRACT", "1")
+    cbc = build_mxu4_consts(plan, True, 8, b8=True, bc=True)
+    got = np.asarray(tensor_intt_pallas(a, cbc, interpret=True, b8=True))
+    np.testing.assert_array_equal(got, want)

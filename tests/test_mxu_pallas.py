@@ -146,6 +146,80 @@ def test_relin_tail_parity(ops, plan):
     np.testing.assert_array_equal(got[1], want1)
 
 
+def test_rotate_tail_parity(ops, plan):
+    """Fused rotate tail (s0 passthrough + digit-lift NTT + key-switch
+    accumulate + add, mode='rotate') == unfused composition."""
+    import jax.numpy as jnp
+
+    from tpufhe.ops import zq
+    from tpufhe.ops.pallas.mxu_ntt_kernel import (
+        build_ksk_tail_consts,
+        rotate_tail_pallas,
+    )
+
+    rng = np.random.default_rng(46)
+    k = len(ops)
+    B = 2
+    s0 = _rand(rng, ops, batch=B)  # canonical NTT-domain passthrough row
+    digits = np.stack([_rand(rng, ops, batch=B) for _ in range(k)])
+    x = np.concatenate([s0[None], digits], axis=0)
+
+    def pack(v64):
+        lo = (v64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (v64 >> np.uint64(32)).astype(np.uint32)
+        return np.stack([lo, hi], axis=-2).reshape(k, 2, N // 128, 128)
+
+    def shoup_of(v64):
+        out = np.empty_like(v64)
+        for i, op in enumerate(ops):
+            p = op.q.p
+            row = v64[i].astype(object)
+            out[i] = np.array([(int(t) << 64) // p for t in row.ravel()],
+                              dtype=np.uint64).reshape(row.shape)
+        return out
+
+    ksk_c0, ksk_c1 = [], []
+    for i in range(k):
+        v0 = np.stack([rng.integers(0, op.q.p, size=N, dtype=np.uint64)
+                       for op in ops])
+        v1 = np.stack([rng.integers(0, op.q.p, size=N, dtype=np.uint64)
+                       for op in ops])
+        ksk_c0.append((pack(v0), pack(shoup_of(v0))))
+        ksk_c1.append((pack(v1), pack(shoup_of(v1))))
+
+    # unfused reference: lift NTTs + Shoup accumulate + add s0
+    stacked = digits.reshape((k * B,) + digits.shape[2:])
+    lifted = np.asarray(ntt_mxu.forward_mxu(stacked, plan, in_bits=63))
+    lifted = lifted.reshape(digits.shape)
+
+    def pairs(a):
+        return (jnp.asarray(a[..., 0, :, :]), jnp.asarray(a[..., 1, :, :]))
+
+    idx = (...,) + (None,) * 2
+    p = (jnp.asarray(plan.p_pair[0][idx]), jnp.asarray(plan.p_pair[1][idx]))
+    acc0 = acc1 = None
+    for i in range(k):
+        di = pairs(lifted[i])
+        t0 = zq.mul_shoup(di, pairs(ksk_c0[i][0]), pairs(ksk_c0[i][1]), p)
+        t1 = zq.mul_shoup(di, pairs(ksk_c1[i][0]), pairs(ksk_c1[i][1]), p)
+        if acc0 is None:
+            acc0, acc1 = t0, t1
+        else:
+            acc0 = zq.add_mod(acc0, t0, p)
+            acc1 = zq.add_mod(acc1, t1, p)
+    want0 = np.stack(
+        [np.asarray(v) for v in zq.add_mod(pairs(s0), acc0, p)], axis=-3)
+    want1 = np.stack([np.asarray(v) for v in acc1], axis=-3)
+
+    ntt_consts = build_mxu4_consts(plan, inverse=False, in_planes=9)
+    ksk_tail = build_ksk_tail_consts(ksk_c0, ksk_c1)
+    got = np.asarray(
+        rotate_tail_pallas(jnp.asarray(x), ntt_consts, ksk_tail,
+                           interpret=True))
+    np.testing.assert_array_equal(got[0], want0)
+    np.testing.assert_array_equal(got[1], want1)
+
+
 def test_tensor_intt_parity(ops, plan):
     """Fused tensor product + inverse NTT == unfused composition."""
     import jax.numpy as jnp

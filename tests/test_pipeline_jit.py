@@ -104,6 +104,39 @@ def test_rotate_jitted():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(want[1].coeffs))
 
 
+def test_rotate_jitted_fused_tail(monkeypatch):
+    """Fused rotate-tail pipeline (TPUFHE_RELIN_TAIL=1, interpret-mode
+    kernel) == the plain composition, at a tail-eligible degree (>= 1024).
+    Random residue arrays suffice: the parity claim is about the program,
+    not ciphertext validity."""
+    from tpufhe.ops.rq import pack_u64
+
+    par = params(62, 2, degree=1024)
+    r = rng()
+    sk = SecretKey.random(par, r)
+    gk = GaloisKey.new(sk, 3, 0, 0, r)
+    ctx = par.context_at_level(0)
+
+    c = []
+    for _ in range(2):
+        mat = np.stack([
+            RNG.integers(0, m, size=(1, 1024), dtype=np.uint64)
+            for m in ctx.moduli
+        ], axis=1)
+        c.append(pack_u64(mat))
+
+    fn_plain = make_rotate(par, gk)
+    want0, want1 = fn_plain(c[0], c[1])
+    jax.block_until_ready((want0, want1))
+
+    monkeypatch.setenv("TPUFHE_RELIN_TAIL", "1")
+    fn_fused = make_rotate(par, gk)
+    out0, out1 = fn_fused(c[0], c[1])
+    jax.block_until_ready((out0, out1))
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(want1))
+
+
 def test_sharded_mul_relin_jitted_wide():
     """Wide-limb (62-bit pair) mul+relin jitted under a 4x2 CPU mesh.
 

@@ -41,8 +41,39 @@ from tpufhe.ops.u64 import U32
 B_PLANES = MAT_PLANES  # 9
 
 
+def _bc_on(b8: bool) -> bool:
+    """Bitcast digit extraction (b8 only): balanced base-256 digits ARE
+    the bytes of (x + 0x80..80) with the sign bit flipped, so the int8
+    data planes come from a dtype bitcast (plus one add64 and two xors)
+    instead of ~5 shift/mask VPU ops per plane. The plane index then sits
+    byte-minor INSIDE each word position instead of plane-major across
+    positions; the matrices' contraction axes are permuted to match
+    (_bc_perm, host-side, free), so outputs are bit-identical.
+    TPUFHE_BC_EXTRACT=1 opts in (A/B on bench.py)."""
+    import os as _os
+
+    return b8 and _os.environ.get("TPUFHE_BC_EXTRACT", "0") == "1"
+
+
+def _bc_perm(n_pos: int) -> np.ndarray:
+    """Contraction-axis permutation for bitcast-extracted data planes.
+
+    Old index: a * n_pos + j (plane-major, a in 0..7). New index: byte-
+    minor within each 32-bit word, lo-limb block then hi-limb block:
+    j*4 + a for a < 4, and 4*n_pos + j*4 + (a-4) for a >= 4. Returns
+    `perm` with new_matrix[..., dst] = old_matrix[..., src]: perm[dst] =
+    src."""
+    perm = np.empty(8 * n_pos, dtype=np.int64)
+    for a in range(8):
+        for j in range(n_pos):
+            src = a * n_pos + j
+            dst = (j * 4 + a) if a < 4 else (4 * n_pos + j * 4 + (a - 4))
+            perm[dst] = src
+    return perm
+
+
 def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int,
-                      b8: bool = False):
+                      b8: bool = False, bc: bool = False):
     """Per-limb flattened constants for the kernel.
 
     Returns (m_sub, tw, m_lane, scal):
@@ -72,6 +103,13 @@ def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int,
         m_sub = m1b[:, :, : a2 * n1]
         m_lane = m2b[:, : in_planes * n2]
         tw_v, tw_s = plan.tb, plan.tb_shoup
+    if bc:
+        # bitcast-extracted data planes: permute the contraction axes to
+        # the byte-minor layout (_bc_on/_bc_perm); requires 8 planes on
+        # both stages (b8)
+        assert b8 and in_planes == 8
+        m_sub = m_sub[:, :, _bc_perm(n1)]
+        m_lane = m_lane[:, _bc_perm(n2)]
     tw = np.stack([tw_v, tw_s], axis=1)  # (k, 2, 2, n1, n2)
     k = m_sub.shape[0]
     scal = np.zeros((k, 6), dtype=np.uint32)
@@ -116,14 +154,39 @@ def _digit_planes_jnp(lo, hi, n_planes, b8):
     return planes
 
 
-def _extract_sub(lo, hi, n_planes, b8=False):
-    """(n1, L) u64 pair -> (n_planes*n1, L) i8, planes stacked on sublanes."""
+def _extract_sub(lo, hi, n_planes, b8=False, bc=False):
+    """(n1, L) u64 pair -> (n_planes*n1, L) i8, planes stacked on sublanes
+    (bc=False, plane-major) or byte-minor within words (bc=True; matrices
+    built with build_mxu4_consts(bc=True) match)."""
+    if bc:
+        lo, hi = _bc_bytes(lo, hi)
+        xl = jax.lax.bitcast_convert_type(lo, jnp.int8)  # (n1, L, 4)
+        xh = jax.lax.bitcast_convert_type(hi, jnp.int8)
+        xl = jnp.transpose(xl, (0, 2, 1)).reshape(-1, lo.shape[-1])
+        xh = jnp.transpose(xh, (0, 2, 1)).reshape(-1, hi.shape[-1])
+        return jnp.concatenate([xl, xh], axis=0)  # (8*n1, L)
     return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=0)
 
 
-def _extract_lane(lo, hi, n_planes, b8=False):
-    """(n1, L) u64 pair -> (n1, n_planes*L) i8, planes stacked on lanes."""
+def _extract_lane(lo, hi, n_planes, b8=False, bc=False):
+    """(n1, L) u64 pair -> (n1, n_planes*L) i8, planes stacked on lanes
+    (bc=False, plane-major) or byte-minor within words (bc=True)."""
+    if bc:
+        lo, hi = _bc_bytes(lo, hi)
+        xl = jax.lax.bitcast_convert_type(lo, jnp.int8)  # (n1, L, 4)
+        xh = jax.lax.bitcast_convert_type(hi, jnp.int8)
+        xl = xl.reshape(lo.shape[0], -1)
+        xh = xh.reshape(hi.shape[0], -1)
+        return jnp.concatenate([xl, xh], axis=1)  # (n1, 8*L)
     return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=1)
+
+
+def _bc_bytes(lo, hi):
+    """u64 pair -> u32 pair whose BYTES are the balanced base-256 digits
+    (as int8 after reinterpret): add the 0x80-per-byte offset, then flip
+    each byte's sign bit (u ^ 0x80 reinterpreted as i8 == u - 128)."""
+    lo, hi = u64.add64((lo, hi), (U32(0x80808080), U32(0x80808080)))
+    return lo ^ U32(0x80808080), hi ^ U32(0x80808080)
 
 
 def _opt_lz(scal) -> int:
@@ -205,7 +268,8 @@ def _fold_slices(take, consts, lazy, b8=False, opt_lz=0):
 
 def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
-                 inverse: bool, b8: bool = False, opt_lz: int = 0):
+                 inverse: bool, b8: bool = False, opt_lz: int = 0,
+                 bc: bool = False):
     """Batched formulation: the bt batch rows of one cell are concatenated
     into a SINGLE dot per stage — M1 contracts sublanes so rows stack on
     lanes as (Ax*n1, bt*128); M2 contracts lanes so rows stack on sublanes
@@ -233,7 +297,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     if not inverse:
         # stage 1 (M1, sublane contraction): rows lane-concatenated
         x1 = jnp.concatenate(
-            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
+            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc)
              for r in range(bt)],
             axis=1,
         )  # (Ax*n1, bt*128)
@@ -254,7 +318,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
         # stage 2 (M2, lane contraction): rows sublane-concatenated
         x2 = jnp.concatenate(
             [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
-                           s[1][:, r * 128 : (r + 1) * 128], a2, b8)
+                           s[1][:, r * 128 : (r + 1) * 128], a2, b8, bc)
              for r in range(bt)],
             axis=0,
         )  # (bt*n1, a2*128)
@@ -271,7 +335,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     else:
         # inverse: lane contraction (M2b) first, rows on sublanes
         x2 = jnp.concatenate(
-            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
+            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc)
              for r in range(bt)],
             axis=0,
         )  # (bt*n1, Ax*128)
@@ -291,7 +355,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
         # M1 stage: rows lane-concatenated
         x1 = jnp.concatenate(
             [_extract_sub(s[0][r * n1 : (r + 1) * n1],
-                          s[1][r * n1 : (r + 1) * n1], a2, b8)
+                          s[1][r * n1 : (r + 1) * n1], a2, b8, bc)
              for r in range(bt)],
             axis=1,
         )  # (a2*n1, bt*128)
@@ -314,67 +378,51 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
 
 def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                        ksk_ref, o_ref, *, n1: int, bt: int, n_polys: int,
-                       in_planes: int, b8: bool = False, opt_lz: int = 0):
+                       in_planes: int, b8: bool = False, opt_lz: int = 0,
+                       chunk: int = 0, mode: str = "relin",
+                       bc: bool = False):
     """Merged forward NTT + key-switch accumulate + final add, one cell.
 
-    x_ref: (n_polys, bt, 1, 2, n1, 128) canonical power-basis rows of one
-    limb — polys [c0, c1, d_0..d_{k-1}] (the down-scaled ciphertext parts
-    and the garner decomposition rows, pipeline.build_mul_relin_step).
+    mode="relin" (pipeline.build_mul_relin_step):
+      x_ref rows are [c0, c1, d_0..d_{k-1}] canonical power-basis rows of
+      one limb (the down-scaled ciphertext parts + garner decomposition
+      rows); ALL rows transform; o = (c0 + ks0, c1 + ks1).
+    mode="rotate" (pipeline._rotate_step, galois_key.rs:90-124):
+      x_ref rows are [s0, d_0..d_{k-1}] where s0 is the substituted c0
+      ALREADY in NTT domain (passthrough, no transform) and the d_i are
+      the substituted-c1 decomposition rows; o = (s0 + ks0, ks1).
+    mode="ks_only" (key_switching_key.rs:214-241 standalone):
+      x_ref rows are [d_0..d_{k-1}]; o = (ks0, ks1).
+
     ksk_ref: (1, k_rows, 4, 2, n1, 128) — this limb's ksk constants as
     [c0, c0_shoup, c1, c1_shoup] value/Shoup u64 pairs.
-    o_ref: (2, bt, 1, 2, n1, 128) — c0 + ks0, c1 + ks1.
+    o_ref: (2, bt, 1, 2, n1, 128).
 
-    All n_polys*bt rows of the cell share ONE dot per NTT stage (lanes for
-    M1, sublanes for M2), so the MXU batch is n_polys x larger than the
-    plain kernel's; the key-switch Shoup accumulation runs in VMEM on the
-    transform outputs, eliminating the XLA-level accumulate fusion and its
-    HBM staging of the (k x batch) lifted rows (ROOFLINE r2: copies were
-    ~50% of device time).
+    All transformed rows of the cell share ONE dot per NTT stage (lanes
+    for M1, sublanes for M2), so the MXU batch is n_polys x larger than
+    the plain kernel's; the key-switch Shoup accumulation runs in VMEM on
+    the transform outputs, eliminating the XLA-level accumulate fusion and
+    its HBM staging of the (k x batch) lifted rows (ROOFLINE r2: copies
+    were ~50% of device time).
     """
     li = pl.program_id(0)
     p = (scal_ref[li, 0], scal_ref[li, 1])
     bl = (scal_ref[li, 2], scal_ref[li, 3])
     bh = (scal_ref[li, 4], scal_ref[li, 5])
     consts = (bl, bh, p)
-    k_rows = n_polys - 2
+    t_start = {"relin": 0, "rotate": 1, "ks_only": 0}[mode]
+    d_start = {"relin": 2, "rotate": 1, "ks_only": 0}[mode]
+    k_rows = n_polys - d_start
 
     m_sub = msub_ref[0]
     m_lane = mlane_ref[0]
     twv = (tw_ref[0, 0, 0], tw_ref[0, 0, 1])
     tws = (tw_ref[0, 1, 0], tw_ref[0, 1, 1])
     a2 = 8 if b8 else 9
-    rows = n_polys * bt
+    rows = (n_polys - t_start) * bt
+    if chunk <= 0:
+        chunk = rows
 
-    # stage 1 (M1, sublane contraction): all rows lane-concatenated
-    x1 = jnp.concatenate(
-        [_extract_sub(x_ref[q, r, 0, 0], x_ref[q, r, 0, 1], in_planes, b8)
-         for q in range(n_polys) for r in range(bt)],
-        axis=1,
-    )  # (Ax*n1, rows*128)
-    c1 = jax.lax.dot_general(
-        m_sub, x1, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1], consts,
-                     lazy=True, b8=b8, opt_lz=opt_lz)
-    twv_t = (jnp.concatenate([twv[0]] * rows, axis=1),
-             jnp.concatenate([twv[1]] * rows, axis=1))
-    tws_t = (jnp.concatenate([tws[0]] * rows, axis=1),
-             jnp.concatenate([tws[1]] * rows, axis=1))
-    s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
-    if b8:
-        s = zq.reduce1(s, p)
-    # stage 2 (M2, lane contraction): rows sublane-concatenated
-    x2 = jnp.concatenate(
-        [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
-                       s[1][:, r * 128 : (r + 1) * 128], a2, b8)
-         for r in range(rows)],
-        axis=0,
-    )  # (rows*n1, a2*128)
-    c2 = jax.lax.dot_general(
-        x2, m_lane, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
     # With an opt modulus of >= 2 leading zeros (p < 2^62, all generated
     # 62-bit primes) the whole epilogue runs on LAZY (< 2p)
     # representatives: lazy_mul_shoup takes any u64 first argument, lazy
@@ -384,18 +432,63 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
     # case keeps the canonical add_mod chain (outputs are bit-identical
     # either way: canonical).
     lazy_epi = opt_lz >= 2
-    out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128], consts,
-                       lazy=lazy_epi, b8=b8, opt_lz=opt_lz)
+
+    # `chunk` splits the NTT row batch into independent dot->fold chains
+    # (bit-identical: the fold math is per-row) so the live int32 product
+    # planes stay under the VMEM scoped limit at large n1 — at N=16384
+    # (n1=128, k=6, n_polys=8) the single-dot form allocates 23.4 MiB of
+    # scratch vs the 16 MiB cap (the round-3 mulrelin16384 compile
+    # failure, VERDICT r4 item 2).
+    qr = [(q, r) for q in range(t_start, n_polys) for r in range(bt)]
+    row_outs = [None] * rows
+    for base in range(0, rows, chunk):
+        sub = qr[base : base + chunk]
+        nr = len(sub)
+        # stage 1 (M1, sublane contraction): rows lane-concatenated
+        x1 = jnp.concatenate(
+            [_extract_sub(x_ref[q, r, 0, 0], x_ref[q, r, 0, 1],
+                          in_planes, b8, bc)
+             for q, r in sub],
+            axis=1,
+        )  # (Ax*n1, nr*128)
+        c1 = jax.lax.dot_general(
+            m_sub, x1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1], consts,
+                         lazy=True, b8=b8, opt_lz=opt_lz)
+        twv_t = (jnp.concatenate([twv[0]] * nr, axis=1),
+                 jnp.concatenate([twv[1]] * nr, axis=1))
+        tws_t = (jnp.concatenate([tws[0]] * nr, axis=1),
+                 jnp.concatenate([tws[1]] * nr, axis=1))
+        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+        if b8:
+            s = zq.reduce1(s, p)
+        # stage 2 (M2, lane contraction): rows sublane-concatenated
+        x2 = jnp.concatenate(
+            [_extract_lane(s[0][:, i * 128 : (i + 1) * 128],
+                           s[1][:, i * 128 : (i + 1) * 128], a2, b8, bc)
+             for i in range(nr)],
+            axis=0,
+        )  # (nr*n1, a2*128)
+        c2 = jax.lax.dot_general(
+            x2, m_lane, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
+                           consts, lazy=lazy_epi, b8=b8, opt_lz=opt_lz)
+        for i in range(nr):
+            row_outs[base + i] = (out[0][i * n1 : (i + 1) * n1],
+                                  out[1][i * n1 : (i + 1) * n1])
 
     def row(q, r):
-        sl = slice((q * bt + r) * n1, (q * bt + r + 1) * n1)
-        return (out[0][sl], out[1][sl])
+        return row_outs[(q - t_start) * bt + r]
 
-    # epilogue: ks{0,1} = sum_i d_i * ksk_c{0,1}[i]; add to c0/c1
+    # epilogue: ks{0,1} = sum_i d_i * ksk_c{0,1}[i]; add the mode's carries
     for r in range(bt):
         acc0 = acc1 = None
         for i in range(k_rows):
-            di = row(2 + i, r)
+            di = row(d_start + i, r)
             if lazy_epi:
                 t0 = zq.lazy_mul_shoup(
                     di, (ksk_ref[0, i, 0, 0], ksk_ref[0, i, 0, 1]),
@@ -422,14 +515,24 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                 else:
                     acc0 = zq.add_mod(acc0, t0, p)
                     acc1 = zq.add_mod(acc1, t1, p)
+        if mode == "relin":
+            c0r, c1r = row(0, r), row(1, r)
+        elif mode == "rotate":
+            # s0 rides along untransformed: canonical NTT-domain values
+            c0r = (x_ref[0, r, 0, 0], x_ref[0, r, 0, 1])
+            c1r = None
+        else:  # ks_only
+            c0r = c1r = None
         if lazy_epi:
-            o0 = zq.reduce1(zq.lazy_reduce_opt(
-                u64.add64(row(0, r), acc0), opt_lz, p), p)
-            o1 = zq.reduce1(zq.lazy_reduce_opt(
-                u64.add64(row(1, r), acc1), opt_lz, p), p)
+            if c0r is not None:
+                acc0 = zq.lazy_reduce_opt(u64.add64(c0r, acc0), opt_lz, p)
+            if c1r is not None:
+                acc1 = zq.lazy_reduce_opt(u64.add64(c1r, acc1), opt_lz, p)
+            o0 = zq.reduce1(acc0, p)
+            o1 = zq.reduce1(acc1, p)
         else:
-            o0 = zq.add_mod(row(0, r), acc0, p)
-            o1 = zq.add_mod(row(1, r), acc1, p)
+            o0 = acc0 if c0r is None else zq.add_mod(c0r, acc0, p)
+            o1 = acc1 if c1r is None else zq.add_mod(c1r, acc1, p)
         o_ref[0, r, 0] = jnp.stack([o0[0], o0[1]])
         o_ref[1, r, 0] = jnp.stack([o1[0], o1[1]])
 
@@ -437,7 +540,8 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
 @lru_cache(maxsize=None)
 def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
                      in_planes: int, interpret: bool, b8: bool,
-                     opt_lz: int = 0):
+                     opt_lz: int = 0, mode: str = "relin",
+                     bc: bool = False):
     # n_polys rows transform per batch row; budget bt so the live int32
     # product planes (the VMEM peak) stay ~3 MiB as in the plain kernel
     import os as _os
@@ -449,12 +553,46 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
     bt = min(bt, batch)
     while batch % bt:
         bt -= 1
-    grid = (k, batch // bt)
+    # VMEM scope budget (the v5e scoped limit is 16 MiB): the dominant
+    # scratch is the two int32 product-plane buffers, ~2 * bp*n1 * 128*4
+    # bytes per NTT row; the fixed blocks (x, ksk, matrices, row_outs)
+    # cost ~(n_polys*bt + 4*(n_polys-2) + 2*bt + 2) u64 rows plus 2 MiB
+    # of int8 matrices. Chunk the row batch so scratch fits (bit-exact;
+    # see _relin_tail_kernel). At N=8192 the defaults already fit and
+    # chunk stays off.
     bp = 8 if b8 else B_PLANES
+    t_start = {"relin": 0, "rotate": 1, "ks_only": 0}[mode]
+    d_start = {"relin": 2, "rotate": 1, "ks_only": 0}[mode]
+    k_rows = n_polys - d_start
+    budget = int(_os.environ.get("TPUFHE_TAIL_VMEM", str(13 * 2**20)))
+    chunk_env = _os.environ.get("TPUFHE_TAIL_CHUNK", "")
+    row_u64 = 2 * n1 * 128 * 4  # one u64-pair row in bytes
+    # per-row chunk scratch: 2 int32 plane buffers + ~6 u64 temps
+    per_row = 2 * bp * n1 * 128 * 4 + 6 * row_u64
+
+    def _auto_chunk(bt_):
+        rows_ = (n_polys - t_start) * bt_
+        fixed = (n_polys * bt_ + rows_ + 4 * k_rows + 2 * bt_ + 2) \
+            * row_u64 + 2 * (bp * n1) * (bp * n1) + (2 * bp + 8) * n1 * 128
+        c = (budget - fixed) // per_row
+        return rows_ if c >= rows_ else max(0, c)
+
+    if chunk_env:
+        chunk = int(chunk_env)
+    else:
+        # shrink bt before chunking below 2 rows per dot (tiny dots waste
+        # the MXU; measured in the r3 TINTT chunk sweep)
+        while not forced and bt > 1 and _auto_chunk(bt) < 2:
+            bt -= 1
+            while batch % bt:
+                bt -= 1
+        chunk = max(1, _auto_chunk(bt))
+    grid = (k, batch // bt)
     a2 = 8 if b8 else 9
 
     kernel = partial(_relin_tail_kernel, n1=n1, bt=bt, n_polys=n_polys,
-                     in_planes=in_planes, b8=b8, opt_lz=opt_lz)
+                     in_planes=in_planes, b8=b8, opt_lz=opt_lz,
+                     chunk=chunk, mode=mode, bc=bc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -472,7 +610,7 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
             pl.BlockSpec((1, a2 * 128, bp * 128),
                          lambda li, bi, *_: (li, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_polys - 2, 4, 2, n1, 128),
+            pl.BlockSpec((1, k_rows, 4, 2, n1, 128),
                          lambda li, bi, *_: (li, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -492,7 +630,7 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
 def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                         o_ref, *, n1: int, bt: int, in_planes: int,
                         b8: bool = False, opt_lz: int = 0,
-                        chunk: int = 0):
+                        chunk: int = 0, bc: bool = False):
     """Fused tensor product + inverse NTT for one (limb, batch-tile) cell.
 
     x_ref: (4, bt, 1, 2, n1, 128) NTT-domain extended operands
@@ -555,7 +693,8 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         sub = qr[base : base + chunk]
         nr = len(sub)
         x2 = jnp.concatenate(
-            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
+            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8,
+                           bc)
              for q, r in sub],
             axis=0,
         )  # (nr*n1, Ax*128)
@@ -574,7 +713,7 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
             s = zq.reduce1(s, p)
         x1 = jnp.concatenate(
             [_extract_sub(s[0][i * n1 : (i + 1) * n1],
-                          s[1][i * n1 : (i + 1) * n1], a2, b8)
+                          s[1][i * n1 : (i + 1) * n1], a2, b8, bc)
              for i in range(nr)],
             axis=1,
         )  # (a2*n1, nr*128)
@@ -598,7 +737,8 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
 
 @lru_cache(maxsize=None)
 def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
-                      interpret: bool, b8: bool, opt_lz: int = 0):
+                      interpret: bool, b8: bool, opt_lz: int = 0,
+                      bc: bool = False):
     import os as _os
 
     forced = _os.environ.get("TPUFHE_TINTT_BT", "")
@@ -606,14 +746,38 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     bt = min(bt, batch)
     while batch % bt:
         bt -= 1
-    grid = (k, batch // bt)
     bp = 8 if b8 else B_PLANES
     a2 = 8 if b8 else 9
 
-    chunk = int(_os.environ.get("TPUFHE_TINTT_CHUNK", "0"))
+    # VMEM scope budget, mirroring _relin_tail_call: chunk the 3*bt tensor
+    # rows so the int32 product planes fit the 16 MiB scoped limit at
+    # large n1 (N=16384). At N<=8192 the defaults fit and chunk stays 0
+    # (single-dot form) unless TPUFHE_TINTT_CHUNK forces it.
+    budget = int(_os.environ.get("TPUFHE_TINTT_VMEM", str(13 * 2**20)))
+    row_u64 = 2 * n1 * 128 * 4
+    per_row = 2 * bp * n1 * 128 * 4 + 6 * row_u64
+
+    def _auto_chunk(bt_):
+        rows_ = 3 * bt_
+        fixed = (4 * bt_ + 2 * rows_ + 2) * row_u64 \
+            + 2 * (bp * n1) * (bp * n1) + (2 * bp + 8) * n1 * 128
+        c = (budget - fixed) // per_row
+        return rows_ if c >= rows_ else max(0, c)
+
+    chunk_env = _os.environ.get("TPUFHE_TINTT_CHUNK", "")
+    if chunk_env:
+        chunk = int(chunk_env)
+    else:
+        while not forced and bt > 1 and _auto_chunk(bt) < 2:
+            bt -= 1
+            while batch % bt:
+                bt -= 1
+        auto = _auto_chunk(bt)
+        chunk = 0 if auto >= 3 * bt else max(1, auto)
+    grid = (k, batch // bt)
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
-                     chunk=chunk)
+                     chunk=chunk, bc=bc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -655,7 +819,7 @@ def tensor_intt_pallas(x, ntt_consts, interpret=False, b8=False):
     _, batch, k, _, n1, _ = x.shape
     in_planes = m_lane.shape[-2] // 128
     call = _tensor_intt_call(n1, k, batch, in_planes, interpret, b8,
-                             _opt_lz(scal))
+                             _opt_lz(scal), _bc_on(b8))
     return call(scal, x, m_sub, tw, m_lane)
 
 
@@ -668,8 +832,41 @@ def relin_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
     n_polys, batch, k, _, n1, _ = x.shape
     in_planes = m_sub.shape[-1] // n1
     call = _relin_tail_call(n1, k, batch, n_polys, in_planes, interpret, b8,
-                            _opt_lz(scal))
+                            _opt_lz(scal), "relin", _bc_on(b8))
     return call(scal, x, m_sub, tw, m_lane, ksk_tail)
+
+
+def rotate_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
+    """Fused Galois key-switch tail (galois_key.rs:90-124): x
+    (1 + k_rows, B, k, 2, n1, 128) rows [s0_ntt, d_0..d_{k-1}] where s0 is
+    the substituted c0 (NTT domain, passthrough) and d_i are the
+    substituted-c1 garner decomposition rows (canonical power basis) ->
+    (2, B, k, 2, n1, 128) = (s0 + ks0, ks1)."""
+    m_sub, tw, m_lane, scal = ntt_consts
+    n_polys, batch, k, _, n1, _ = x.shape
+    in_planes = m_sub.shape[-1] // n1
+    call = _relin_tail_call(n1, k, batch, n_polys, in_planes, interpret, b8,
+                            _opt_lz(scal), "rotate", _bc_on(b8))
+    return call(scal, x, m_sub, tw, m_lane, ksk_tail)
+
+
+def tail_kernel_fits(n1: int, n_polys: int, k_rows: int) -> bool:
+    """Whether the fused tail kernel fits the 16 MiB VMEM scope at its
+    minimum tiling (bt=1, chunk=1). The blocks themselves (x, the ksk
+    constants, both int8 matrices, twiddles, out — each double-buffered
+    by the Pallas pipeline) dominate at large n1: the measured anchor is
+    N=16384/k=6 relin (n_polys=8, k_rows=6) allocating 16.81M > 16M even
+    at minimum tiles. Callers fall back to the unfused composition
+    (stacked forward NTT + XLA-level accumulate — bit-identical) when
+    this returns False."""
+    row = 2 * n1 * 128 * 4
+    blocks = (n_polys * row              # x
+              + k_rows * 4 * row         # ksk value/shoup pairs
+              + 2 * (8 * n1) * (8 * n1)  # m_sub + m_lane (int8)
+              + 2 * row                  # twiddles
+              + 2 * row)                 # out (bt=1)
+    est = 2 * blocks + n_polys * row + 2 * 8 * n1 * 128 * 4 + 6 * row
+    return est <= 14 * 2**20
 
 
 def build_ksk_tail_consts(ksk_c0, ksk_c1) -> np.ndarray:
@@ -721,7 +918,7 @@ def _pick_bt(batch: int, n1: int) -> int:
 @lru_cache(maxsize=None)
 def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
                inverse: bool, interpret: bool, b8: bool = False,
-               opt_lz: int = 0):
+               opt_lz: int = 0, bc: bool = False):
     bt = _pick_bt(batch, n1)
     grid = (k, batch // bt)
     a2 = 8 if b8 else 9
@@ -730,7 +927,8 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     ay = a2 if not inverse else in_planes
 
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
-                     lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz)
+                     lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz,
+                     bc=bc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -785,5 +983,5 @@ def mxu4_pallas(x, consts, lazy=False, inverse=False, interpret=False,
     in_planes = (m_sub.shape[-1] // n1) if not inverse else (
         m_lane.shape[-2] // 128)
     call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret,
-                      b8, _opt_lz(scal))
+                      b8, _opt_lz(scal), _bc_on(b8))
     return call(scal, x, m_sub, tw, m_lane)

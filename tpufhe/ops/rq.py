@@ -294,15 +294,18 @@ class _DeviceConsts:
 
     def mxu4_consts(self, sl: slice, inverse: bool, in_planes: int,
                     b8: bool = False):
-        """Cached fused-kernel constants (pallas/mxu_ntt_kernel.py)."""
-        key = (sl.start, sl.stop, sl.step, inverse, in_planes, b8)
+        """Cached fused-kernel constants (pallas/mxu_ntt_kernel.py).
+        The bitcast-extract layout flag (_bc_on) is part of the cache key:
+        it permutes the matrices' contraction axes."""
+        from tpufhe.ops.pallas.mxu_ntt_kernel import _bc_on, build_mxu4_consts
+
+        bc = _bc_on(b8)
+        key = (sl.start, sl.stop, sl.step, inverse, in_planes, b8, bc)
         if not hasattr(self, "_mxu4_consts"):
             self._mxu4_consts = {}
         if key not in self._mxu4_consts:
-            from tpufhe.ops.pallas.mxu_ntt_kernel import build_mxu4_consts
-
             self._mxu4_consts[key] = build_mxu4_consts(
-                self.mxu_plan(sl), inverse, in_planes, b8)
+                self.mxu_plan(sl), inverse, in_planes, b8, bc)
         return self._mxu4_consts[key]
 
     def mxu_plan32(self, sl: slice):
