@@ -326,7 +326,8 @@ def bench_inner_sum(batch, iters):
     return ops
 
 
-def bench_dot_product(iters, count=128):
+def bench_dot_product(iters, count=128, degree=8192,
+                       n_limbs=4):
     """Config #4c: optimized ct-pt dot product of `count` pairs
     (bfv_optimized_ops.rs:19-70), u128 lazy accumulation.
 
@@ -343,8 +344,7 @@ def bench_dot_product(iters, count=128):
     from tpufhe.ops.rq import NTT, Poly
     from tpufhe.pipeline import make_ct_pt_dot
 
-    degree = 8192
-    par = _build_params(degree, 62, 4)
+    par = _build_params(degree, 62, n_limbs)
     ctx = par.context_at_level(0)
     dot = make_ct_pt_dot(par, count, 1)
 
@@ -372,12 +372,13 @@ def bench_dot_product(iters, count=128):
     _sync(x0, x1)
     dt = time.perf_counter() - t0
     ops = iters / dt
-    _emit(f"bfv_dot_product_{count}_n8192_l4", ops,
+    _emit(f"bfv_dot_product_{count}_n{degree}_l{n_limbs}", ops,
           "dot_products/s/chip", pairs=count)
     return ops
 
 
-def bench_mbfv(iters, parties=11, batch=8):
+def bench_mbfv(iters, parties=11, batch=8, degree=4096,
+               n_limbs=2):
     """Config #6 (VERDICT r3 item 9): one multiparty round on the TPU —
     collective public-key generation (Protocol 1, public_key_gen.rs:16-79:
     p0 = sum_i(-a*s_i + e_i) against the CRP) plus collective decryption
@@ -391,8 +392,7 @@ def bench_mbfv(iters, parties=11, batch=8):
     from tpufhe.utils.sampling import sample_vec_cbd
     from tpufhe.mbfv.batched import _stack_raw_i64
 
-    degree = 4096
-    par = _build_params(degree, 62, 2)
+    par = _build_params(degree, 62, n_limbs)
     ctx = par.context_at_level(0)
     ctx_lvl = par.context_level_at(0)
     scaler = ctx_lvl.cipher_plain_context.scaler
@@ -442,7 +442,7 @@ def bench_mbfv(iters, parties=11, batch=8):
     _sync(x0, x1, d)
     dt = time.perf_counter() - t0
     ops = batch * iters / dt
-    _emit("mbfv_keygen_plus_decrypt_n4096_l2", ops,
+    _emit(f"mbfv_keygen_plus_decrypt_n{degree}_l{n_limbs}", ops,
           "collective_rounds/s/chip", batch=batch, parties=parties)
     return ops
 

@@ -104,6 +104,44 @@ def test_rotate_jitted():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(want[1].coeffs))
 
 
+def test_ct_pt_dot_jitted():
+    """make_ct_pt_dot (window-vectorized deferred-u128 dot) vs the exact
+    Python-int oracle, with n > headroom window so the mid-window Barrett
+    reduce is exercised (rq/ops.rs:448-550 semantics)."""
+    from tpufhe.ops.rq import pack_u64, unpack_u64
+    from tpufhe.pipeline import make_ct_pt_dot
+
+    par = params(62, 2)
+    ctx = par.context_at_level(0)
+    n, m, N = 20, 3, 64  # window at lz=2 is 14: two windows
+    k = ctx.k
+
+    def rand(shape_lead):
+        mat = np.stack([
+            RNG.integers(0, q.p, size=shape_lead + (N,), dtype=np.uint64)
+            for q in ctx.q
+        ], axis=-2)
+        return pack_u64(mat)
+
+    e0, e1 = rand((n, 1)), rand((n, 1))
+    db = rand((n, m))
+    fn = make_ct_pt_dot(par, n, m)
+    r0, r1 = fn(e0, e1, db)
+    jax.block_until_ready((r0, r1))
+
+    eu0, eu1, dbu = (unpack_u64(np.asarray(x)) for x in (e0, e1, db))
+    for e, r in ((eu0, r0), (eu1, r1)):
+        got = unpack_u64(np.asarray(r))  # (m, 1, k, N)
+        for j in range(m):
+            for li, q in enumerate(ctx.q):
+                want = [
+                    sum(int(e[i, 0, li, c]) * int(dbu[i, j, li, c])
+                        for i in range(n)) % q.p
+                    for c in range(N)
+                ]
+                assert [int(v) for v in got[j, 0, li]] == want
+
+
 def test_rotate_jitted_fused_tail(monkeypatch):
     """Fused rotate-tail pipeline (TPUFHE_RELIN_TAIL=1, interpret-mode
     kernel) == the plain composition, at a tail-eligible degree (>= 1024).

@@ -90,3 +90,25 @@ def test_pallas_batched_rows(monkeypatch):
     monkeypatch.setenv("TPUFHE_PALLAS_RNS", "1")
     got = np.asarray(scaler.scale(packed, 0, 3))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("start,size,qin,qout,factor", [
+    (3, 4, Q3, Q7, "one"),
+    (0, 3, Q7, Q3, "tq"),
+])
+def test_pallas_bc_scaler_ab(monkeypatch, start, size, qin, qout, factor):
+    """Balanced-byte (bitcast) scaler kernel == 7-bit kernel, explicitly
+    both modes (independent of the TPUFHE_BC_SCALER default)."""
+    N = 1024
+    q = RnsContext(qin)
+    r = RnsContext(qout)
+    f = ScalingFactor.one() if factor == "one" else ScalingFactor(
+        T, q.modulus())
+    xs = [[int(RNG.integers(0, m)) for m in qin] for _ in range(N)]
+    packed = _pack(xs)
+    monkeypatch.setenv("TPUFHE_PALLAS_RNS", "1")
+    monkeypatch.setenv("TPUFHE_BC_SCALER", "0")
+    ref = _unpack(RnsScaler(q, r, f).scale(packed, start, size))
+    monkeypatch.setenv("TPUFHE_BC_SCALER", "1")
+    got = _unpack(RnsScaler(q, r, f).scale(packed, start, size))
+    np.testing.assert_array_equal(got, ref)

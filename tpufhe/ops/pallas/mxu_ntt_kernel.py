@@ -49,10 +49,11 @@ def _bc_on(b8: bool) -> bool:
     byte-minor INSIDE each word position instead of plane-major across
     positions; the matrices' contraction axes are permuted to match
     (_bc_perm, host-side, free), so outputs are bit-identical.
-    TPUFHE_BC_EXTRACT=1 opts in (A/B on bench.py)."""
+    Default ON since round 4 (v5e A/B at N=8192/L=3/B=64: 6353 -> 6506
+    mul+relin/s); TPUFHE_BC_EXTRACT=0 reverts."""
     import os as _os
 
-    return b8 and _os.environ.get("TPUFHE_BC_EXTRACT", "0") == "1"
+    return b8 and _os.environ.get("TPUFHE_BC_EXTRACT", "1") != "0"
 
 
 def _bc_perm(n_pos: int) -> np.ndarray:
@@ -104,12 +105,13 @@ def build_mxu4_consts(plan: MxuNttPlan, inverse: bool, in_planes: int,
         m_lane = m2b[:, : in_planes * n2]
         tw_v, tw_s = plan.tb, plan.tb_shoup
     if bc:
-        # bitcast-extracted data planes: permute the contraction axes to
-        # the byte-minor layout (_bc_on/_bc_perm); requires 8 planes on
-        # both stages (b8)
+        # bitcast-extracted data planes (sublane stage ONLY — Mosaic's
+        # pltpu.bitcast scales sublanes, there is no lane-expanding
+        # bitcast): permute m_sub's contraction axis to the byte-minor
+        # order; m_lane keeps the plane-major order (its extract stays
+        # shift/mask). Requires 8 planes (b8).
         assert b8 and in_planes == 8
         m_sub = m_sub[:, :, _bc_perm(n1)]
-        m_lane = m_lane[:, _bc_perm(n2)]
     tw = np.stack([tw_v, tw_s], axis=1)  # (k, 2, 2, n1, n2)
     k = m_sub.shape[0]
     scal = np.zeros((k, 6), dtype=np.uint32)
@@ -154,30 +156,32 @@ def _digit_planes_jnp(lo, hi, n_planes, b8):
     return planes
 
 
-def _extract_sub(lo, hi, n_planes, b8=False, bc=False):
+def _extract_sub(lo, hi, n_planes, b8=False, bc=False, bc_interp=False):
     """(n1, L) u64 pair -> (n_planes*n1, L) i8, planes stacked on sublanes
     (bc=False, plane-major) or byte-minor within words (bc=True; matrices
-    built with build_mxu4_consts(bc=True) match)."""
+    built with build_mxu4_consts(bc=True) match).
+
+    bc: pltpu.bitcast sublane-expands u32 -> i8 with row order 4*i + b
+    (byte b of word row i — verified on v5e), so the extract is one add64
+    + two xors + a register reinterpret instead of ~5 shift/mask ops per
+    plane. bc_interp uses a jnp emulation with the identical order (the
+    Mosaic bitcast has no interpret-mode lowering)."""
     if bc:
         lo, hi = _bc_bytes(lo, hi)
-        xl = jax.lax.bitcast_convert_type(lo, jnp.int8)  # (n1, L, 4)
-        xh = jax.lax.bitcast_convert_type(hi, jnp.int8)
-        xl = jnp.transpose(xl, (0, 2, 1)).reshape(-1, lo.shape[-1])
-        xh = jnp.transpose(xh, (0, 2, 1)).reshape(-1, hi.shape[-1])
-        return jnp.concatenate([xl, xh], axis=0)  # (8*n1, L)
+        if bc_interp:
+            def cast(v):
+                b = jax.lax.bitcast_convert_type(v, jnp.int8)  # (n1, L, 4)
+                return jnp.transpose(b, (0, 2, 1)).reshape(-1, v.shape[-1])
+        else:
+            def cast(v):
+                return pltpu.bitcast(v, jnp.int8)
+        return jnp.concatenate([cast(lo), cast(hi)], axis=0)  # (8*n1, L)
     return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=0)
 
 
-def _extract_lane(lo, hi, n_planes, b8=False, bc=False):
-    """(n1, L) u64 pair -> (n1, n_planes*L) i8, planes stacked on lanes
-    (bc=False, plane-major) or byte-minor within words (bc=True)."""
-    if bc:
-        lo, hi = _bc_bytes(lo, hi)
-        xl = jax.lax.bitcast_convert_type(lo, jnp.int8)  # (n1, L, 4)
-        xh = jax.lax.bitcast_convert_type(hi, jnp.int8)
-        xl = xl.reshape(lo.shape[0], -1)
-        xh = xh.reshape(hi.shape[0], -1)
-        return jnp.concatenate([xl, xh], axis=1)  # (n1, 8*L)
+def _extract_lane(lo, hi, n_planes, b8=False):
+    """(n1, L) u64 pair -> (n1, n_planes*L) i8, planes stacked on lanes.
+    (No bc variant: Mosaic's bitcast scales sublanes, not lanes.)"""
     return jnp.concatenate(_digit_planes_jnp(lo, hi, n_planes, b8), axis=1)
 
 
@@ -269,7 +273,7 @@ def _fold_slices(take, consts, lazy, b8=False, opt_lz=0):
 def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
                  inverse: bool, b8: bool = False, opt_lz: int = 0,
-                 bc: bool = False):
+                 bc: bool = False, bc_interp: bool = False):
     """Batched formulation: the bt batch rows of one cell are concatenated
     into a SINGLE dot per stage — M1 contracts sublanes so rows stack on
     lanes as (Ax*n1, bt*128); M2 contracts lanes so rows stack on sublanes
@@ -297,7 +301,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     if not inverse:
         # stage 1 (M1, sublane contraction): rows lane-concatenated
         x1 = jnp.concatenate(
-            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc)
+            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc,
+                          bc_interp)
              for r in range(bt)],
             axis=1,
         )  # (Ax*n1, bt*128)
@@ -318,7 +323,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
         # stage 2 (M2, lane contraction): rows sublane-concatenated
         x2 = jnp.concatenate(
             [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
-                           s[1][:, r * 128 : (r + 1) * 128], a2, b8, bc)
+                           s[1][:, r * 128 : (r + 1) * 128], a2, b8)
              for r in range(bt)],
             axis=0,
         )  # (bt*n1, a2*128)
@@ -335,7 +340,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     else:
         # inverse: lane contraction (M2b) first, rows on sublanes
         x2 = jnp.concatenate(
-            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc)
+            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
              for r in range(bt)],
             axis=0,
         )  # (bt*n1, Ax*128)
@@ -355,7 +360,8 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
         # M1 stage: rows lane-concatenated
         x1 = jnp.concatenate(
             [_extract_sub(s[0][r * n1 : (r + 1) * n1],
-                          s[1][r * n1 : (r + 1) * n1], a2, b8, bc)
+                          s[1][r * n1 : (r + 1) * n1], a2, b8, bc,
+                          bc_interp)
              for r in range(bt)],
             axis=1,
         )  # (a2*n1, bt*128)
@@ -380,7 +386,7 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                        ksk_ref, o_ref, *, n1: int, bt: int, n_polys: int,
                        in_planes: int, b8: bool = False, opt_lz: int = 0,
                        chunk: int = 0, mode: str = "relin",
-                       bc: bool = False):
+                       bc: bool = False, bc_interp: bool = False):
     """Merged forward NTT + key-switch accumulate + final add, one cell.
 
     mode="relin" (pipeline.build_mul_relin_step):
@@ -447,7 +453,7 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         # stage 1 (M1, sublane contraction): rows lane-concatenated
         x1 = jnp.concatenate(
             [_extract_sub(x_ref[q, r, 0, 0], x_ref[q, r, 0, 1],
-                          in_planes, b8, bc)
+                          in_planes, b8, bc, bc_interp)
              for q, r in sub],
             axis=1,
         )  # (Ax*n1, nr*128)
@@ -467,7 +473,7 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         # stage 2 (M2, lane contraction): rows sublane-concatenated
         x2 = jnp.concatenate(
             [_extract_lane(s[0][:, i * 128 : (i + 1) * 128],
-                           s[1][:, i * 128 : (i + 1) * 128], a2, b8, bc)
+                           s[1][:, i * 128 : (i + 1) * 128], a2, b8)
              for i in range(nr)],
             axis=0,
         )  # (nr*n1, a2*128)
@@ -592,7 +598,7 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
 
     kernel = partial(_relin_tail_kernel, n1=n1, bt=bt, n_polys=n_polys,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
-                     chunk=chunk, mode=mode, bc=bc)
+                     chunk=chunk, mode=mode, bc=bc, bc_interp=interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -630,7 +636,8 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
 def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                         o_ref, *, n1: int, bt: int, in_planes: int,
                         b8: bool = False, opt_lz: int = 0,
-                        chunk: int = 0, bc: bool = False):
+                        chunk: int = 0, bc: bool = False,
+                        bc_interp: bool = False):
     """Fused tensor product + inverse NTT for one (limb, batch-tile) cell.
 
     x_ref: (4, bt, 1, 2, n1, 128) NTT-domain extended operands
@@ -693,8 +700,7 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
         sub = qr[base : base + chunk]
         nr = len(sub)
         x2 = jnp.concatenate(
-            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8,
-                           bc)
+            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
              for q, r in sub],
             axis=0,
         )  # (nr*n1, Ax*128)
@@ -713,7 +719,8 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
             s = zq.reduce1(s, p)
         x1 = jnp.concatenate(
             [_extract_sub(s[0][i * n1 : (i + 1) * n1],
-                          s[1][i * n1 : (i + 1) * n1], a2, b8, bc)
+                          s[1][i * n1 : (i + 1) * n1], a2, b8, bc,
+                          bc_interp)
              for i in range(nr)],
             axis=1,
         )  # (a2*n1, nr*128)
@@ -777,7 +784,7 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     grid = (k, batch // bt)
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
-                     chunk=chunk, bc=bc)
+                     chunk=chunk, bc=bc, bc_interp=interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -928,7 +935,7 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
 
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
                      lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz,
-                     bc=bc)
+                     bc=bc, bc_interp=interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -40,6 +40,98 @@ from tpufhe.ops.ntt_mxu import DIGIT_BITS, DIGIT_MASK, MAT_PLANES
 from tpufhe.ops.u64 import U32
 
 _THETA_DIGITS16 = 8  # thetas < 2^128: eight 16-bit digits
+_BC_THETA_DIGITS = 16  # thetas < 2^127: sixteen balanced base-256 digits
+_BC_DATA_PLANES = 8  # canonical residues < 2^62: eight byte planes
+_BC_FOLD_K = 1 << 21  # per-row fold offset; |c_row| <= 8*k_in*128^2 < 2^21
+
+
+def _balanced_base256(x: int, n: int) -> list[int]:
+    """Exact balanced base-256 digits (each in [-128, 127]) of a signed
+    integer; asserts |x| is representable in n digits."""
+    x = int(x)
+    digs = []
+    for _ in range(n):
+        d = ((x + 128) % 256) - 128
+        digs.append(d)
+        x = (x - d) >> 8
+    assert x == 0, "value does not fit in balanced base-256 digits"
+    return digs
+
+
+def build_scaler_consts_bc(scaler, starting_index: int, size: int, st: int):
+    """Balanced-byte (bitcast-extract) variant of build_scaler_consts.
+
+    Data planes are the balanced base-256 digits of each residue — the
+    BYTES of (r + 0x80..80) sign-flipped, produced in-kernel by one
+    pltpu.bitcast instead of ~9 shift/mask extractions — so the weight
+    blocks are re-derived at 8-bit spacing:
+      - theta rows: conv structure w[a+b, a, i] = balanced digit b of
+        (+/-)theta_i, 16 theta digits x 8 data planes -> 23 fold rows
+        (vs 27 at 7-bit spacing), signs absorbed INTO the digits so the
+        step-2 pos/neg dual fold collapses to one signed fold;
+      - omega rows: balanced digits of (omega_ji * 2^(8a) mod p)
+        (ntt_mxu._bal_digit_planes), consumed by the same b8 fold as the
+        NTT kernels (8 rows per output modulus vs 9).
+    Column order matches the bitcast block layout: per input limb i,
+    [lo bytes, hi bytes], rows 4*s + b within each half.
+    Returns (w_delta, scal) with the same scal table as the 7-bit form.
+    """
+    from tpufhe.ops.ntt_mxu import B8_PLANES, _bal_digit_planes
+
+    k_in = scaler._k_in
+    A = _BC_DATA_PLANES
+    TB = _BC_THETA_DIGITS
+    rows_t = A + TB - 1  # 23
+
+    def theta_rows(vals, signs=None):
+        w = np.zeros((rows_t, A, k_in), dtype=np.int8)
+        for i, x in enumerate(vals):
+            v = -int(x) if (signs is not None and signs[i]) else int(x)
+            digs = _balanced_base256(v, TB)
+            for a in range(A):
+                for b in range(TB):
+                    w[a + b, a, i] = digs[b]
+        return w
+
+    blocks = [theta_rows(scaler.theta_garner)]
+    if not scaler.factor.is_one:
+        blocks.append(
+            theta_rows(scaler.theta_omega, scaler.theta_omega_sign))
+    w_om = np.zeros((B8_PLANES, size, A, k_in), dtype=np.int8)
+    for jl in range(size):
+        j = starting_index + jl
+        p = scaler.to_ctx.moduli[j].p
+        obj = np.array([[scaler.omega[j][i] for i in range(k_in)]],
+                       dtype=object)  # (1, k_in)
+        planes = _bal_digit_planes(obj, p)  # (A, 8, 1, k_in)
+        for a in range(A):
+            for b in range(B8_PLANES):
+                w_om[b, jl, a, :] = planes[a, b, 0, :]
+    blocks.append(w_om.reshape(B8_PLANES * size, A, k_in))
+    w = np.concatenate(blocks, axis=0)  # (R, A, k_in)
+    r_tot = w.shape[0]
+
+    # delta-expansion + bitcast column order (i, half, s, byte)
+    w_delta = np.zeros((r_tot, st, k_in, 2, st, 4), dtype=np.int8)
+    for i in range(k_in):
+        for a in range(A):
+            half, b4 = divmod(a, 4)
+            for s in range(st):
+                w_delta[:, s, i, half, s, b4] = w[:, a, i]
+    w_delta = w_delta.reshape(r_tot * st, k_in * 8 * st)
+
+    def pair(x: int):
+        return (int(x) & 0xFFFFFFFF, (int(x) >> 32) & 0xFFFFFFFF)
+
+    scal = np.zeros((size, 12), dtype=np.uint32)
+    for jl in range(size):
+        j = starting_index + jl
+        q = scaler.to_ctx.moduli[j]
+        vals = (pair(q.p) + pair(q.barrett_lo) + pair(q.barrett_hi)
+                + pair(scaler.gamma[j]) + pair(scaler.gamma_shoup[j])
+                + pair(2 * q.p))
+        scal[jl] = vals
+    return np.ascontiguousarray(w_delta), scal
 
 
 def build_scaler_consts(scaler, starting_index: int, size: int, st: int,
@@ -237,17 +329,161 @@ def _scale_kernel(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
             o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
 
 
+def _scale_kernel_bc(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
+                     k_in: int, size: int, rows_t: int, factor_one: bool,
+                     tg_shift: int, tgamma_digits: tuple,
+                     tgamma_sign: bool, opt_lz: int = 0,
+                     bc_interp: bool = False):
+    """Balanced-byte variant of _scale_kernel (build_scaler_consts_bc):
+    one bitcast per (limb, half) replaces the 9-plane shift/mask extract,
+    the theta folds run on 23 signed rows with a +K offset and one exact
+    constant correction, and the omega fold is the NTT kernels' b8 fold.
+    Bit-exact vs the 7-bit kernel and scale_host (all-integer, same
+    values)."""
+    from tpufhe.ops.pallas.mxu_ntt_kernel import _bc_bytes, _fold_slices
+
+    if bc_interp:
+        def cast(v):
+            b = jax.lax.bitcast_convert_type(v, jnp.int8)  # (st, 128, 4)
+            return jnp.transpose(b, (0, 2, 1)).reshape(-1, v.shape[-1])
+    else:
+        def cast(v):
+            return pltpu.bitcast(v, jnp.int8)
+
+    cols_x = []
+    for r in range(bt):
+        blocks = []
+        for i in range(k_in):
+            lo, hi = _bc_bytes(x_ref[r, i, 0], x_ref[r, i, 1])
+            blocks.append(cast(lo))
+            blocks.append(cast(hi))
+        cols_x.append(jnp.concatenate(blocks, axis=0))
+    x1 = jnp.concatenate(cols_x, axis=1)  # (k_in*8*st, bt*128) i8
+    c = jax.lax.dot_general(
+        w_ref[...], x1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (R*st, bt*128)
+
+    def crow(r):
+        return c[r * st : (r + 1) * st]  # (st, bt*128) int32, signed
+
+    zero = jnp.zeros((st, bt * 128), jnp.uint32)
+    kofs = jnp.int32(_BC_FOLD_K)
+
+    def fold_signed(rows, n_cols):
+        cols = [zero] * n_cols
+        for s, cb in enumerate(rows):
+            cbu = (cb + kofs).astype(jnp.uint32)
+            d0 = cbu & U32(0xFFFF)
+            d1 = cbu >> U32(16)
+            qc, rc = divmod(8 * s, 16)
+            cols[qc] = cols[qc] + (d0 << U32(rc))
+            cols[qc + 1] = cols[qc + 1] + (d1 << U32(rc))
+        return cols
+
+    corr = _BC_FOLD_K * sum(1 << (8 * s) for s in range(rows_t))
+
+    def corr_limbs(n):
+        return tuple(U32((corr >> (32 * t)) & 0xFFFFFFFF) + zero
+                     for t in range(n))
+
+    # --- step 1: v = round(sum r_i * theta_garner_i / 2^shift) ---
+    cols = fold_signed([crow(s) for s in range(rows_t)], 13)
+    acc = u64.cols_to_limbs(cols, 7)
+    acc = u64.mp_sub(acc, corr_limbs(7))  # exact: true sum >= 0
+    acc = u64.mp_shr(acc, tg_shift - 1)
+    s4 = acc[:4]
+    half = u64.mp_shr(s4, 1)
+    v = u64.mp_add(half, (s4[0] & U32(1), zero, zero, zero))
+
+    # --- step 2: w (only when the factor is not one) ---
+    w_sign = None
+    w_pairs = None
+    if not factor_one:
+        cols_w = fold_signed(
+            [crow(rows_t + s) for s in range(rows_t)], 17)
+        neg_cols = [zero] * 17
+        vd = u64.digits16((v[0], v[1])) + u64.digits16((v[2], v[3]))
+        u64.col_accumulate(
+            cols_w if tgamma_sign else neg_cols, vd, list(tgamma_digits))
+        pos = u64.cols_to_limbs(cols_w, 8)
+        neg = u64.cols_to_limbs(neg_cols, 8)
+        s = u64.mp_sub(u64.mp_sub(pos, corr_limbs(8)), neg)
+        w_sign = ((s[5] >> U32(31)) | s[6] | s[7]) != U32(0)
+        s_not = tuple(~x for x in s)
+        neg_shift = u64.mp_shr(s_not, 126)[:4]
+        neg_p1 = u64.mp_add(
+            neg_shift, (jnp.ones_like(zero), zero, zero, zero))
+        w_neg = u64.mp_shr(neg_p1, 1)
+        pos_shift = u64.mp_shr(s, 126)[:4]
+        pos_half = u64.mp_shr(pos_shift, 1)
+        w_pos = u64.mp_add(
+            pos_half, (pos_shift[0] & U32(1), zero, zero, zero))
+        w_pairs = tuple(
+            jnp.where(w_sign, a, b) for a, b in zip(w_neg, w_pos))
+
+    # --- step 3: per-output-modulus accumulation (scalar consts) ---
+    ofs = rows_t * (1 if factor_one else 2)
+    for j in range(size):
+        p = (scal_ref[j, 0], scal_ref[j, 1])
+        bl = (scal_ref[j, 2], scal_ref[j, 3])
+        bh = (scal_ref[j, 4], scal_ref[j, 5])
+        gam = (scal_ref[j, 6], scal_ref[j, 7])
+        gs = (scal_ref[j, 8], scal_ref[j, 9])
+        p2 = (scal_ref[j, 10], scal_ref[j, 11])
+
+        def _red128(x):
+            if opt_lz:
+                return zq.reduce1(
+                    zq.lazy_reduce_opt_u128(x, bl, opt_lz, p), p)
+            return zq.reduce_u128(x, bl, bh, p)
+
+        v_red = zq.reduce_u128(v, bl, bh, p)
+        t0 = zq.lazy_mul_shoup(v_red, gam, gs, p)
+        y = u64.sub64(p2, t0)
+        acc128 = (y[0], y[1], zero, zero)
+        if not factor_one:
+            w_lazy = zq.lazy_reduce_u128(w_pairs, bl, bh, p)
+            neg_w = u64.sub64(p2, w_lazy)
+            term = (jnp.where(w_sign, neg_w[0], w_lazy[0]),
+                    jnp.where(w_sign, neg_w[1], w_lazy[1]))
+            acc128 = u64.mp_add(acc128, (term[0], term[1], zero, zero))
+        # the omega fold is the NTT kernels' balanced-byte (b8) fold:
+        # signed planes, per-plane K offset, congruent p<<17 makeup and
+        # one closed-form constant subtraction; |T| <= 8*k_in*128^2 *
+        # 2^(8*7) < p * 2^17 for any p >= 2^59 (gated in the caller)
+        o_term = _fold_slices(
+            lambda b: crow(ofs + b * size + j), (bl, bh, p),
+            lazy=True, b8=True, opt_lz=opt_lz)
+        acc128 = u64.mp_add(acc128, (o_term[0], o_term[1], zero, zero))
+        out = _red128(acc128)
+        for r in range(bt):
+            o_ref[r, j, 0] = out[0][:, r * 128 : (r + 1) * 128]
+            o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
+
+
 @lru_cache(maxsize=None)
 def _scale_call(n_rows: int, n_sub: int, st: int, bt: int, k_in: int,
                 size: int, in_planes: int, rows_t: int, r_tot: int,
                 factor_one: bool, tg_shift: int, tgamma_digits: tuple,
-                tgamma_sign: bool, interpret: bool, opt_lz: int = 0):
-    kernel = partial(
-        _scale_kernel, st=st, bt=bt, k_in=k_in, size=size,
-        in_planes=in_planes, rows_t=rows_t, factor_one=factor_one,
-        tg_shift=tg_shift, tgamma_digits=tgamma_digits,
-        tgamma_sign=tgamma_sign, opt_lz=opt_lz,
-    )
+                tgamma_sign: bool, interpret: bool, opt_lz: int = 0,
+                bcs: bool = False):
+    if bcs:
+        kernel = partial(
+            _scale_kernel_bc, st=st, bt=bt, k_in=k_in, size=size,
+            rows_t=rows_t, factor_one=factor_one, tg_shift=tg_shift,
+            tgamma_digits=tgamma_digits, tgamma_sign=tgamma_sign,
+            opt_lz=opt_lz, bc_interp=interpret,
+        )
+        w_cols = k_in * 8 * st
+    else:
+        kernel = partial(
+            _scale_kernel, st=st, bt=bt, k_in=k_in, size=size,
+            in_planes=in_planes, rows_t=rows_t, factor_one=factor_one,
+            tg_shift=tg_shift, tgamma_digits=tgamma_digits,
+            tgamma_sign=tgamma_sign, opt_lz=opt_lz,
+        )
+        w_cols = in_planes * k_in * st
     grid = (n_rows // bt, n_sub // st)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -256,7 +492,7 @@ def _scale_call(n_rows: int, n_sub: int, st: int, bt: int, k_in: int,
             pl.BlockSpec((bt, k_in, 2, st, 128),
                          lambda bi, si, *_: (bi, 0, 0, si, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tot * st, in_planes * k_in * st),
+            pl.BlockSpec((r_tot * st, w_cols),
                          lambda bi, si, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -285,7 +521,19 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
     lead = x.shape[:-4]
     k_in, _, n_sub, lanes = x.shape[-4:]
     assert lanes == 128
-    key = (starting_index, size, in_planes)
+    # balanced-byte (bitcast-extract) mode: requires canonical inputs
+    # (< 2^62, i.e. the in_planes <= 9 contract), thetas < 2^127 (16
+    # balanced digits), and large output moduli so the omega b8 fold's
+    # p<<17 makeup covers the signed fold value (|T| < k_in * 2^74).
+    bcs = (
+        in_planes <= 9
+        and os.environ.get("TPUFHE_BC_SCALER", "1") != "0"
+        and all((q.p << 17) > (k_in << 74)
+                for q in scaler.to_ctx.moduli[
+                    starting_index : starting_index + size])
+        and all(q.p < (1 << 62) for q in scaler.from_ctx.moduli)
+    )
+    key = (starting_index, size, in_planes, bcs)
     cache = getattr(scaler, "_pallas_consts", None)
     if cache is None:
         cache = scaler._pallas_consts = {}
@@ -294,8 +542,12 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
         cache.clear()
         cache["st"] = st
     if key not in cache:
-        cache[key] = build_scaler_consts(
-            scaler, starting_index, size, st, in_planes)
+        if bcs:
+            cache[key] = build_scaler_consts_bc(
+                scaler, starting_index, size, st)
+        else:
+            cache[key] = build_scaler_consts(
+                scaler, starting_index, size, st, in_planes)
     w_delta, scal = cache[key]
     r_tot = w_delta.shape[0] // st
 
@@ -308,7 +560,10 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
     bt = int(os.environ.get("TPUFHE_RNS_BT", 8))
     while n_rows % bt:
         bt -= 1
-    rows_t = in_planes + scaler._THETA_PLANES - 1
+    if bcs:
+        rows_t = _BC_DATA_PLANES + _BC_THETA_DIGITS - 1
+    else:
+        rows_t = in_planes + scaler._THETA_PLANES - 1
     tg_digits = tuple(
         (int(scaler.theta_gamma) >> (16 * i)) & 0xFFFF
         for i in range(_THETA_DIGITS16)
@@ -319,7 +574,7 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
         n_rows, n_sub, st, bt, k_in, size, in_planes, rows_t, r_tot,
         bool(scaler.factor.is_one), int(scaler.theta_garner_shift),
         tg_digits, bool(scaler.theta_gamma_sign), interpret,
-        _opt_lz(scal),
+        _opt_lz(scal), bcs,
     )
     out = call(scal, xb, w_delta)
     return out.reshape(lead + (size, 2, n_sub, 128))

@@ -1006,16 +1006,42 @@ def make_ct_pt_dot(par: BfvParameters, n: int, m: int, level: int = 0):
         zero = jnp.zeros((2, m) + q.shape[2:-3] + q.shape[-2:], jnp.uint32)
         acc = (zero, zero, zero, zero)
 
-        def body(a4, x):
-            qi, dbi = x
-            a = _pairs(qi[:, None])
-            b = _pairs(dbi[None, :, None])
-            return u64.mp_mul_pair(a4, a, b), None
+        # per headroom window (rq/ops.rs:448-550 bound: `win` deferred
+        # 128-bit products per Barrett reduce), products for ALL window
+        # terms are computed VECTORIZED with the term index as a leading
+        # axis and mp-added pairwise — a lax.scan over single terms
+        # measured scan-overhead-bound (33/s; each step's arithmetic is
+        # ~4 us of VPU work), the window-vectorized form is ~arithmetic-
+        # bound. Integer adds are associative: results bit-identical.
+        # The vectorized sub-window is capped so the live product tensor
+        # stays under ~512 MB (paper-scale PIR has m in the hundreds);
+        # sub-windows within one headroom window just mp-add — the
+        # reduce cadence (and hence bit-exactness) is unchanged.
+        import os as _os
 
+        per_term = 16 * zero.size  # 4 u32 limbs x product tensor
+        budget = int(_os.environ.get("TPUFHE_DOT_VBYTES", 512 * 2**20))
+        wv = max(1, min(win, budget // max(per_term, 1)))
         start = 0
         while start < n:
             stop = min(n, start + win)
-            acc, _ = jax.lax.scan(body, acc, (q[start:stop], db[start:stop]))
+            for s0 in range(start, stop, wv):
+                s1 = min(stop, s0 + wv)
+                w = s1 - s0
+                a = _pairs(q[s0:s1, :, None])        # (w, 2, 1, B, ...)
+                b = _pairs(db[s0:s1, None, :, None])  # (w, 1, m, 1, ...)
+                zw = jnp.zeros((w,) + zero.shape, jnp.uint32)
+                prod = u64.mp_mul_pair((zw, zw, zw, zw), a, b)
+                # pairwise tree-sum over the term axis (exact: < 2^128)
+                while prod[0].shape[0] > 1:
+                    h = prod[0].shape[0] // 2
+                    rest = tuple(x[2 * h :] for x in prod)
+                    prod = u64.mp_add(tuple(x[:h] for x in prod),
+                                      tuple(x[h : 2 * h] for x in prod))
+                    if rest[0].shape[0]:
+                        prod = tuple(jnp.concatenate([x, y])
+                                     for x, y in zip(prod, rest))
+                acc = u64.mp_add(acc, tuple(x[0] for x in prod))
             if stop < n:
                 lo, hi = zq.reduce_u128(acc, bl, bh, p)
                 acc = (lo, hi, jnp.zeros_like(lo), jnp.zeros_like(lo))
