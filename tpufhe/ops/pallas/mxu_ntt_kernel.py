@@ -270,18 +270,59 @@ def _fold_slices(take, consts, lazy, b8=False, opt_lz=0):
     return r
 
 
+def _swpipe_on() -> bool:
+    """Software-pipeline the per-chunk dot->fold chains inside a kernel:
+    emit the NEXT chunk's first-stage MXU dot before the CURRENT chunk's
+    VPU fold/twiddle work, and the second-stage dot before the PREVIOUS
+    chunk's final fold, so Mosaic's scheduler can keep the MXU busy under
+    the VPU stages (the kernels otherwise serialize MXU+VPU stage-by-
+    stage — ROOFLINE.md round-3 analysis). Arithmetic is untouched:
+    emission order only, outputs bit-identical. TPUFHE_SWPIPE=0 reverts."""
+    import os as _os
+
+    return _os.environ.get("TPUFHE_SWPIPE", "1") != "0"
+
+
+def _emit_chunks(chunks, first, mid, last, swpipe: bool):
+    """Emit two-dot chains per chunk, sequentially or software-pipelined.
+
+    first(c) -> stage-1 int32 product planes (MXU dot)
+    mid(c, planes) -> stage-2 product planes (VPU fold/twiddle + MXU dot)
+    last(c, planes) -> None (final VPU fold, stores row outputs)
+    """
+    if not swpipe or len(chunks) == 1:
+        for c in chunks:
+            last(c, mid(c, first(c)))
+        return
+    d_prev = first(chunks[0])
+    pend = None
+    for i, c in enumerate(chunks):
+        d_cur = d_prev
+        if i + 1 < len(chunks):
+            d_prev = first(chunks[i + 1])
+        c2 = mid(c, d_cur)
+        if pend is not None:
+            last(chunks[i - 1], pend)
+        pend = c2
+    last(chunks[-1], pend)
+
+
 def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
                  inverse: bool, b8: bool = False, opt_lz: int = 0,
-                 bc: bool = False, bc_interp: bool = False):
-    """Batched formulation: the bt batch rows of one cell are concatenated
-    into a SINGLE dot per stage — M1 contracts sublanes so rows stack on
-    lanes as (Ax*n1, bt*128); M2 contracts lanes so rows stack on sublanes
-    as (bt*n1, Ay*128). One (576, 576)@(576, bt*128)-shaped MXU op per
-    stage amortizes the weight-tile loads bt times better than bt separate
-    128-column dots (the per-row loop measured 21% MXU utilization; see
-    ROOFLINE.md). Integer arithmetic is order-independent here, so outputs
-    stay bit-identical to the per-row loop and ops/ntt_mxu.py."""
+                 bc: bool = False, bc_interp: bool = False,
+                 chunk: int = 0):
+    """Batched formulation: the chunk batch rows of one dot are
+    concatenated into a SINGLE dot per stage — M1 contracts sublanes so
+    rows stack on lanes as (Ax*n1, nr*128); M2 contracts lanes so rows
+    stack on sublanes as (nr*n1, Ay*128). One (576, 576)@(576, nr*128)-
+    shaped MXU op per stage amortizes the weight-tile loads nr times
+    better than nr separate 128-column dots (the per-row loop measured
+    21% MXU utilization; see ROOFLINE.md). `chunk` splits the bt rows of
+    a cell into independent dot->fold chains emitted software-pipelined
+    (_emit_chunks) so one chunk's MXU dot runs under another's VPU fold.
+    Integer arithmetic is order-independent here, so outputs stay
+    bit-identical to the per-row loop and ops/ntt_mxu.py."""
     li = pl.program_id(0)
     p = (scal_ref[li, 0], scal_ref[li, 1])
     bl = (scal_ref[li, 2], scal_ref[li, 3])
@@ -298,88 +339,117 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
     # cover the lazy (< 2p < 2^63) twiddle outputs
     a2 = 8 if b8 else 9
 
+    if chunk <= 0:
+        chunk = bt
+    rows_idx = list(range(bt))
+    row_outs = [None] * bt
+    chunks = [(base, rows_idx[base : base + chunk])
+              for base in range(0, bt, chunk)]
+
     if not inverse:
-        # stage 1 (M1, sublane contraction): rows lane-concatenated
-        x1 = jnp.concatenate(
-            [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8, bc,
-                          bc_interp)
-             for r in range(bt)],
-            axis=1,
-        )  # (Ax*n1, bt*128)
-        c1 = jax.lax.dot_general(
-            m_sub, x1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (B*n1, bt*128)
-        s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
-            consts, lazy=True, b8=b8, opt_lz=opt_lz)
-        # twiddle (Shoup, output < 2p); tiles are loop-invariant constants
-        twv_t = (jnp.concatenate([twv[0]] * bt, axis=1),
-                 jnp.concatenate([twv[1]] * bt, axis=1))
-        tws_t = (jnp.concatenate([tws[0]] * bt, axis=1),
-                 jnp.concatenate([tws[1]] * bt, axis=1))
-        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
-        if b8:
-            s = zq.reduce1(s, p)
-        # stage 2 (M2, lane contraction): rows sublane-concatenated
-        x2 = jnp.concatenate(
-            [_extract_lane(s[0][:, r * 128 : (r + 1) * 128],
-                           s[1][:, r * 128 : (r + 1) * 128], a2, b8)
-             for r in range(bt)],
-            axis=0,
-        )  # (bt*n1, a2*128)
-        c2 = jax.lax.dot_general(
-            x2, m_lane, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (bt*n1, B*128)
-        out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
-            consts, lazy=lazy, b8=b8, opt_lz=opt_lz)
-        o_ref[...] = jnp.stack(
-            [out[0].reshape(bt, n1, 128), out[1].reshape(bt, n1, 128)],
-            axis=1,
-        )[:, None]
+        def first(c):
+            _, sub = c
+            # stage 1 (M1, sublane contraction): rows lane-concatenated
+            x1 = jnp.concatenate(
+                [_extract_sub(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes,
+                              b8, bc, bc_interp)
+                 for r in sub],
+                axis=1,
+            )  # (Ax*n1, nr*128)
+            return jax.lax.dot_general(
+                m_sub, x1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B*n1, nr*128)
+
+        def mid(c, c1):
+            nr = len(c[1])
+            s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
+                consts, lazy=True, b8=b8, opt_lz=opt_lz)
+            # twiddle (Shoup, output < 2p); tiles are loop-invariant
+            twv_t = (jnp.concatenate([twv[0]] * nr, axis=1),
+                     jnp.concatenate([twv[1]] * nr, axis=1))
+            tws_t = (jnp.concatenate([tws[0]] * nr, axis=1),
+                     jnp.concatenate([tws[1]] * nr, axis=1))
+            s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+            if b8:
+                s = zq.reduce1(s, p)
+            # stage 2 (M2, lane contraction): rows sublane-concatenated
+            x2 = jnp.concatenate(
+                [_extract_lane(s[0][:, i * 128 : (i + 1) * 128],
+                               s[1][:, i * 128 : (i + 1) * 128], a2, b8)
+                 for i in range(nr)],
+                axis=0,
+            )  # (nr*n1, a2*128)
+            return jax.lax.dot_general(
+                x2, m_lane, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (nr*n1, B*128)
+
+        def last(c, c2):
+            base, sub = c
+            out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
+                consts, lazy=lazy, b8=b8, opt_lz=opt_lz)
+            for i in range(len(sub)):
+                row_outs[base + i] = (out[0][i * n1 : (i + 1) * n1],
+                                      out[1][i * n1 : (i + 1) * n1])
+
+        _emit_chunks(chunks, first, mid, last, _swpipe_on())
     else:
-        # inverse: lane contraction (M2b) first, rows on sublanes
-        x2 = jnp.concatenate(
-            [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes, b8)
-             for r in range(bt)],
-            axis=0,
-        )  # (bt*n1, Ax*128)
-        c2 = jax.lax.dot_general(
-            x2, m_lane, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (bt*n1, B*128)
-        s = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
-            consts, lazy=True, b8=b8, opt_lz=opt_lz)
-        twv_t = (jnp.concatenate([twv[0]] * bt, axis=0),
-                 jnp.concatenate([twv[1]] * bt, axis=0))
-        tws_t = (jnp.concatenate([tws[0]] * bt, axis=0),
-                 jnp.concatenate([tws[1]] * bt, axis=0))
-        s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
-        if b8:
-            s = zq.reduce1(s, p)
-        # M1 stage: rows lane-concatenated
-        x1 = jnp.concatenate(
-            [_extract_sub(s[0][r * n1 : (r + 1) * n1],
-                          s[1][r * n1 : (r + 1) * n1], a2, b8, bc,
-                          bc_interp)
-             for r in range(bt)],
-            axis=1,
-        )  # (a2*n1, bt*128)
-        c1 = jax.lax.dot_general(
-            m_sub, x1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (B*n1, bt*128)
-        out = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
-            consts, lazy=False, b8=b8, opt_lz=opt_lz)
-        o_ref[...] = jnp.stack(
-            [
-                jnp.stack([out[0][:, r * 128 : (r + 1) * 128]
-                           for r in range(bt)], axis=0),
-                jnp.stack([out[1][:, r * 128 : (r + 1) * 128]
-                           for r in range(bt)], axis=0),
-            ],
-            axis=1,
-        )[:, None]
+        def first(c):
+            _, sub = c
+            # inverse: lane contraction (M2b) first, rows on sublanes
+            x2 = jnp.concatenate(
+                [_extract_lane(x_ref[r, 0, 0], x_ref[r, 0, 1], in_planes,
+                               b8)
+                 for r in sub],
+                axis=0,
+            )  # (nr*n1, Ax*128)
+            return jax.lax.dot_general(
+                x2, m_lane, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (nr*n1, B*128)
+
+        def mid(c, c2):
+            nr = len(c[1])
+            s = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
+                consts, lazy=True, b8=b8, opt_lz=opt_lz)
+            twv_t = (jnp.concatenate([twv[0]] * nr, axis=0),
+                     jnp.concatenate([twv[1]] * nr, axis=0))
+            tws_t = (jnp.concatenate([tws[0]] * nr, axis=0),
+                     jnp.concatenate([tws[1]] * nr, axis=0))
+            s = zq.lazy_mul_shoup(s, twv_t, tws_t, p)
+            if b8:
+                s = zq.reduce1(s, p)
+            # M1 stage: rows lane-concatenated
+            x1 = jnp.concatenate(
+                [_extract_sub(s[0][i * n1 : (i + 1) * n1],
+                              s[1][i * n1 : (i + 1) * n1], a2, b8, bc,
+                              bc_interp)
+                 for i in range(nr)],
+                axis=1,
+            )  # (a2*n1, nr*128)
+            return jax.lax.dot_general(
+                m_sub, x1, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (B*n1, nr*128)
+
+        def last(c, c1):
+            base, sub = c
+            out = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1],
+                consts, lazy=False, b8=b8, opt_lz=opt_lz)
+            for i in range(len(sub)):
+                row_outs[base + i] = (out[0][:, i * 128 : (i + 1) * 128],
+                                      out[1][:, i * 128 : (i + 1) * 128])
+
+        _emit_chunks(chunks, first, mid, last, _swpipe_on())
+
+    o_ref[...] = jnp.stack(
+        [
+            jnp.stack([row_outs[r][0] for r in range(bt)], axis=0),
+            jnp.stack([row_outs[r][1] for r in range(bt)], axis=0),
+        ],
+        axis=1,
+    )[:, None]
 
 
 def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
@@ -447,9 +517,11 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
     # failure, VERDICT r4 item 2).
     qr = [(q, r) for q in range(t_start, n_polys) for r in range(bt)]
     row_outs = [None] * rows
-    for base in range(0, rows, chunk):
-        sub = qr[base : base + chunk]
-        nr = len(sub)
+    chunks = [(base, qr[base : base + chunk])
+              for base in range(0, rows, chunk)]
+
+    def first(c):
+        _, sub = c
         # stage 1 (M1, sublane contraction): rows lane-concatenated
         x1 = jnp.concatenate(
             [_extract_sub(x_ref[q, r, 0, 0], x_ref[q, r, 0, 1],
@@ -457,10 +529,13 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
              for q, r in sub],
             axis=1,
         )  # (Ax*n1, nr*128)
-        c1 = jax.lax.dot_general(
+        return jax.lax.dot_general(
             m_sub, x1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+
+    def mid(c, c1):
+        nr = len(c[1])
         s = _fold_slices(lambda b: c1[b * n1 : (b + 1) * n1], consts,
                          lazy=True, b8=b8, opt_lz=opt_lz)
         twv_t = (jnp.concatenate([twv[0]] * nr, axis=1),
@@ -477,15 +552,20 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
              for i in range(nr)],
             axis=0,
         )  # (nr*n1, a2*128)
-        c2 = jax.lax.dot_general(
+        return jax.lax.dot_general(
             x2, m_lane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+
+    def last(c, c2):
+        base, sub = c
         out = _fold_slices(lambda b: c2[:, b * 128 : (b + 1) * 128],
                            consts, lazy=lazy_epi, b8=b8, opt_lz=opt_lz)
-        for i in range(nr):
+        for i in range(len(sub)):
             row_outs[base + i] = (out[0][i * n1 : (i + 1) * n1],
                                   out[1][i * n1 : (i + 1) * n1])
+
+    _emit_chunks(chunks, first, mid, last, _swpipe_on())
 
     def row(q, r):
         return row_outs[(q - t_start) * bt + r]
@@ -593,6 +673,9 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
             while batch % bt:
                 bt -= 1
         chunk = max(1, _auto_chunk(bt))
+        rows_all = (n_polys - t_start) * bt
+        if _swpipe_on() and chunk >= rows_all:
+            chunk = (rows_all + 1) // 2
     grid = (k, batch // bt)
     a2 = 8 if b8 else 9
 
@@ -668,9 +751,14 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
     # modulus each product a*b < p^2 takes the NFLlib single-multiply
     # reduce (2 wide muls vs the generic Barrett's 4); c1's two lazy
     # terms sum to < 4p < 2^64, which lazy_reduce_opt (u64 form) brings
-    # back under 2p with one low multiply.
-    tens = []
-    for r in range(bt):
+    # back under 2p with one low multiply. Computed lazily per batch row:
+    # under the software-pipelined schedule the rows chunk i+1 needs are
+    # emitted while chunk i's first dot is in flight.
+    tens = {}
+
+    def tens_row(r):
+        if r in tens:
+            return tens[r]
         a0 = (x_ref[0, r, 0, 0], x_ref[0, r, 0, 1])
         a1 = (x_ref[1, r, 0, 0], x_ref[1, r, 0, 1])
         b0 = (x_ref[2, r, 0, 0], x_ref[2, r, 0, 1])
@@ -686,28 +774,35 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
             c1 = zq.add_mod(zq.mul_mod(a0, b1, bl, bh, p),
                             zq.mul_mod(a1, b0, bl, bh, p), p)
             c2 = zq.mul_mod(a1, b1, bl, bh, p)
-        tens.append((c0, c1, c2))
+        tens[r] = (c0, c1, c2)
+        return tens[r]
 
     # inverse: lane contraction (M2b) first, rows on sublanes; row order
     # is part-major (c0 rows, c1 rows, c2 rows) to match o_ref layout.
     # `chunk` splits the row batch into independent dot->fold chains: the
     # fold math is per-row, so chunked dots are bit-identical, and the
-    # independent chains let the VLIW scheduler overlap one chunk's VPU
+    # software-pipelined emission (_emit_chunks) overlaps one chunk's VPU
     # fold with the next chunk's MXU dot (chunk = rows: single-dot form).
     qr = [(q, r) for q in range(3) for r in range(bt)]
     row_outs = [None] * rows
-    for base in range(0, rows, chunk):
-        sub = qr[base : base + chunk]
-        nr = len(sub)
+    chunks = [(base, qr[base : base + chunk])
+              for base in range(0, rows, chunk)]
+
+    def first(c):
+        _, sub = c
         x2 = jnp.concatenate(
-            [_extract_lane(tens[r][q][0], tens[r][q][1], in_planes, b8)
+            [_extract_lane(tens_row(r)[q][0], tens_row(r)[q][1],
+                           in_planes, b8)
              for q, r in sub],
             axis=0,
         )  # (nr*n1, Ax*128)
-        c2m = jax.lax.dot_general(
+        return jax.lax.dot_general(
             x2, m_lane, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
+
+    def mid(c, c2m):
+        nr = len(c[1])
         s = _fold_slices(lambda b: c2m[:, b * 128 : (b + 1) * 128], consts,
             lazy=True, b8=b8, opt_lz=opt_lz)
         twv_t = (jnp.concatenate([twv[0]] * nr, axis=0),
@@ -724,15 +819,20 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
              for i in range(nr)],
             axis=1,
         )  # (a2*n1, nr*128)
-        c1m = jax.lax.dot_general(
+        return jax.lax.dot_general(
             m_sub, x1, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (B*n1, nr*128)
+
+    def last(c, c1m):
+        base, sub = c
         out = _fold_slices(lambda b: c1m[b * n1 : (b + 1) * n1], consts,
             lazy=False, b8=b8, opt_lz=opt_lz)
-        for i in range(nr):
+        for i in range(len(sub)):
             row_outs[base + i] = (out[0][:, i * 128 : (i + 1) * 128],
                                   out[1][:, i * 128 : (i + 1) * 128])
+
+    _emit_chunks(chunks, first, mid, last, _swpipe_on())
     o_ref[...] = jnp.stack(
         [
             jnp.stack([row_outs[r][0] for r in range(rows)], axis=0),
@@ -749,7 +849,9 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     import os as _os
 
     forced = _os.environ.get("TPUFHE_TINTT_BT", "")
-    bt = int(forced) if forced else 2
+    # bt=4 with two pipelined chunks measured 6,643 vs bt=2's 6,609 (v5e
+    # N=8192/L=3/B=64 sweep, benches/logs/sweep_r4c); bt=2 when sequential
+    bt = int(forced) if forced else (4 if _swpipe_on() else 2)
     bt = min(bt, batch)
     while batch % bt:
         bt -= 1
@@ -781,6 +883,11 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
                 bt -= 1
         auto = _auto_chunk(bt)
         chunk = 0 if auto >= 3 * bt else max(1, auto)
+        if _swpipe_on() and (chunk == 0 or chunk >= 3 * bt):
+            # split into two pipelined chains; the live plane scratch is
+            # ~the single-dot form's (chunk i+1 stage-1 planes + chunk i
+            # stage-2 planes vs one full-size plane buffer)
+            chunk = (3 * bt + 1) // 2
     grid = (k, batch // bt)
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
@@ -926,6 +1033,8 @@ def _pick_bt(batch: int, n1: int) -> int:
 def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
                inverse: bool, interpret: bool, b8: bool = False,
                opt_lz: int = 0, bc: bool = False):
+    import os as _os
+
     bt = _pick_bt(batch, n1)
     grid = (k, batch // bt)
     a2 = 8 if b8 else 9
@@ -933,9 +1042,17 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     ax = in_planes if not inverse else a2
     ay = a2 if not inverse else in_planes
 
+    forced_ck = _os.environ.get("TPUFHE_MXU4_CHUNK", "")
+    if forced_ck:
+        chunk = int(forced_ck)
+    elif _swpipe_on() and bt >= 2:
+        chunk = (bt + 1) // 2
+    else:
+        chunk = 0
+
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
                      lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz,
-                     bc=bc, bc_interp=interpret)
+                     bc=bc, bc_interp=interpret, chunk=chunk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -965,8 +1082,6 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     # the ciphertext in place instead of staging a fresh HBM buffer —
     # an A/B candidate against the 24% blocking-DMA share (ROOFLINE.md
     # lever 4). Input index 1 = x (index 0 is the scalar-prefetch scal).
-    import os as _os
-
     aliases = {1: 0} if _os.environ.get("TPUFHE_MXU4_ALIAS", "") == "1" \
         else {}
     return pl.pallas_call(
