@@ -43,7 +43,9 @@ def test_b8_parity(inverse, lazy):
     x = np.asarray(_rand_canonical(2))
     c7 = build_mxu4_consts(plan, inverse, 9)
     c8 = build_mxu4_consts(plan, inverse, 8, b8=True)
-    kw = dict(lazy=lazy, inverse=inverse, interpret=True)
+    # bc pinned to match the consts on both calls (the env-driven default
+    # flipped ON in round 4; consts here are built plane-major)
+    kw = dict(lazy=lazy, inverse=inverse, interpret=True, bc=False)
     out7 = np.asarray(mxu4_pallas(x, c7, **kw))
     out8 = np.asarray(mxu4_pallas(x, c8, b8=True, **kw))
     if not lazy:
@@ -62,31 +64,31 @@ def test_b8_parity(inverse, lazy):
 
 
 @pytest.mark.parametrize("inverse", [False, True])
-def test_bc_extract_parity(inverse, monkeypatch):
-    """Bitcast digit extraction (TPUFHE_BC_EXTRACT=1): byte-reinterpret
-    data planes + permuted matrices == the shift/mask extraction,
-    bit-identical canonical outputs."""
+def test_bc_extract_parity(inverse):
+    """Bitcast digit extraction: byte-reinterpret data planes + permuted
+    matrices == the shift/mask extraction, bit-identical canonical
+    outputs. bc is passed explicitly with matching consts on each call."""
     plan = _plan()
     x = np.asarray(_rand_canonical(2))
     c8 = build_mxu4_consts(plan, inverse, 8, b8=True)
     out8 = np.asarray(mxu4_pallas(x, c8, inverse=inverse, interpret=True,
-                                  b8=True))
-    monkeypatch.setenv("TPUFHE_BC_EXTRACT", "1")
+                                  b8=True, bc=False))
     cbc = build_mxu4_consts(plan, inverse, 8, b8=True, bc=True)
     outbc = np.asarray(mxu4_pallas(x, cbc, inverse=inverse, interpret=True,
-                                   b8=True))
+                                   b8=True, bc=True))
     np.testing.assert_array_equal(outbc, out8)
 
 
-def test_bc_extract_tensor_intt_parity(monkeypatch):
+def test_bc_extract_tensor_intt_parity():
     """bc mode through the fused tensor+iNTT kernel."""
     from tpufhe.ops.pallas.mxu_ntt_kernel import tensor_intt_pallas
 
     plan = _plan()
     a = np.stack([np.asarray(_rand_canonical(2)) for _ in range(4)])
     c8 = build_mxu4_consts(plan, True, 8, b8=True)
-    want = np.asarray(tensor_intt_pallas(a, c8, interpret=True, b8=True))
-    monkeypatch.setenv("TPUFHE_BC_EXTRACT", "1")
+    want = np.asarray(tensor_intt_pallas(a, c8, interpret=True, b8=True,
+                                         bc=False))
     cbc = build_mxu4_consts(plan, True, 8, b8=True, bc=True)
-    got = np.asarray(tensor_intt_pallas(a, cbc, interpret=True, b8=True))
+    got = np.asarray(tensor_intt_pallas(a, cbc, interpret=True, b8=True,
+                                        bc=True))
     np.testing.assert_array_equal(got, want)

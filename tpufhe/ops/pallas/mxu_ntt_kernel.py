@@ -923,34 +923,41 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     )
 
 
-def tensor_intt_pallas(x, ntt_consts, interpret=False, b8=False):
+def tensor_intt_pallas(x, ntt_consts, interpret=False, b8=False, bc=None):
     """Fused tensor + inverse NTT: x (4, B, k, 2, n1, 128) NTT-domain
     extended operands [a0, a1, b0, b1] -> (3, B, k, 2, n1, 128)
     power-basis tensor rows. Taking the poly axis pre-stacked matters:
     the pipeline's `ext` concat already has it, so no re-stack copy.
-    ntt_consts: build_mxu4_consts(plan, inverse=True, in_planes=9, b8)."""
+    ntt_consts: build_mxu4_consts(plan, inverse=True, in_planes=9, b8).
+    bc MUST match the flag the consts were built with (None = the
+    _bc_on(b8) default, which rq.Context.dev.mxu4_consts also keys on)."""
     m_sub, tw, m_lane, scal = ntt_consts
     _, batch, k, _, n1, _ = x.shape
     in_planes = m_lane.shape[-2] // 128
     call = _tensor_intt_call(n1, k, batch, in_planes, interpret, b8,
-                             _opt_lz(scal), _bc_on(b8))
+                             _opt_lz(scal),
+                             _bc_on(b8) if bc is None else bc)
     return call(scal, x, m_sub, tw, m_lane)
 
 
-def relin_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
+def relin_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False,
+                      bc=None):
     """Fused tail: x (n_polys, B, k, 2, n1, 128) canonical power-basis
     rows [c0, c1, d_0..d_{k-1}] -> (2, B, k, 2, n1, 128) relinearized
     ciphertext. ksk_tail: (k, k_rows, 4, 2, n1, 128) u32 per-limb ksk
-    constants (build_ksk_tail_consts)."""
+    constants (build_ksk_tail_consts). bc must match the consts (None =
+    the _bc_on(b8) default)."""
     m_sub, tw, m_lane, scal = ntt_consts
     n_polys, batch, k, _, n1, _ = x.shape
     in_planes = m_sub.shape[-1] // n1
     call = _relin_tail_call(n1, k, batch, n_polys, in_planes, interpret, b8,
-                            _opt_lz(scal), "relin", _bc_on(b8))
+                            _opt_lz(scal), "relin",
+                            _bc_on(b8) if bc is None else bc)
     return call(scal, x, m_sub, tw, m_lane, ksk_tail)
 
 
-def rotate_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
+def rotate_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False,
+                       bc=None):
     """Fused Galois key-switch tail (galois_key.rs:90-124): x
     (1 + k_rows, B, k, 2, n1, 128) rows [s0_ntt, d_0..d_{k-1}] where s0 is
     the substituted c0 (NTT domain, passthrough) and d_i are the
@@ -960,7 +967,8 @@ def rotate_tail_pallas(x, ntt_consts, ksk_tail, interpret=False, b8=False):
     n_polys, batch, k, _, n1, _ = x.shape
     in_planes = m_sub.shape[-1] // n1
     call = _relin_tail_call(n1, k, batch, n_polys, in_planes, interpret, b8,
-                            _opt_lz(scal), "rotate", _bc_on(b8))
+                            _opt_lz(scal), "rotate",
+                            _bc_on(b8) if bc is None else bc)
     return call(scal, x, m_sub, tw, m_lane, ksk_tail)
 
 
@@ -1094,16 +1102,18 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
 
 
 def mxu4_pallas(x, consts, lazy=False, inverse=False, interpret=False,
-                b8=False):
+                b8=False, bc=None):
     """Run the fused four-step kernel.
 
     x: (B, k, 2, n1, 128) uint32 lane-folded (B = flattened leading dims);
-    consts: build_mxu4_consts(plan, inverse, in_planes, b8) tuple.
+    consts: build_mxu4_consts(plan, inverse, in_planes, b8, bc) tuple.
+    bc MUST match the flag the consts were built with (None = the
+    _bc_on(b8) default, which rq.Context.dev.mxu4_consts also keys on).
     """
     m_sub, tw, m_lane, scal = consts
     batch, k, _, n1, _ = x.shape
     in_planes = (m_sub.shape[-1] // n1) if not inverse else (
         m_lane.shape[-2] // 128)
     call = _mxu4_call(n1, k, batch, in_planes, lazy, inverse, interpret,
-                      b8, _opt_lz(scal), _bc_on(b8))
+                      b8, _opt_lz(scal), _bc_on(b8) if bc is None else bc)
     return call(scal, x, m_sub, tw, m_lane)
