@@ -277,7 +277,16 @@ def _swpipe_on() -> bool:
     chunk's final fold, so Mosaic's scheduler can keep the MXU busy under
     the VPU stages (the kernels otherwise serialize MXU+VPU stage-by-
     stage — ROOFLINE.md round-3 analysis). Arithmetic is untouched:
-    emission order only, outputs bit-identical. TPUFHE_SWPIPE=0 reverts."""
+    emission order only, outputs bit-identical. TPUFHE_SWPIPE=0 reverts.
+
+    CAVEAT (round-4 mulrelin16384 repro): pipelining keeps TWO chunks'
+    int32 product planes live at once. When the chunk size was chosen
+    ELECTIVELY (the whole row batch fits VMEM and was split just to
+    pipeline), that is VMEM-neutral vs the single-dot form; when the
+    chunking is VMEM-FORCED (N=16384 tail/tensor kernels), doubling the
+    live scratch overflows the 16 MiB scope and the compile fails — the
+    call builders therefore pass swpipe=False whenever their auto-chunk
+    is budget-limited."""
     import os as _os
 
     return _os.environ.get("TPUFHE_SWPIPE", "1") != "0"
@@ -311,7 +320,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                  n1: int, bt: int, in_planes: int, lazy: bool,
                  inverse: bool, b8: bool = False, opt_lz: int = 0,
                  bc: bool = False, bc_interp: bool = False,
-                 chunk: int = 0):
+                 chunk: int = 0, swpipe: bool = False):
     """Batched formulation: the chunk batch rows of one dot are
     concatenated into a SINGLE dot per stage — M1 contracts sublanes so
     rows stack on lanes as (Ax*n1, nr*128); M2 contracts lanes so rows
@@ -393,7 +402,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                 row_outs[base + i] = (out[0][i * n1 : (i + 1) * n1],
                                       out[1][i * n1 : (i + 1) * n1])
 
-        _emit_chunks(chunks, first, mid, last, _swpipe_on())
+        _emit_chunks(chunks, first, mid, last, swpipe)
     else:
         def first(c):
             _, sub = c
@@ -441,7 +450,7 @@ def _mxu4_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref, o_ref, *,
                 row_outs[base + i] = (out[0][:, i * 128 : (i + 1) * 128],
                                       out[1][:, i * 128 : (i + 1) * 128])
 
-        _emit_chunks(chunks, first, mid, last, _swpipe_on())
+        _emit_chunks(chunks, first, mid, last, swpipe)
 
     o_ref[...] = jnp.stack(
         [
@@ -456,7 +465,8 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                        ksk_ref, o_ref, *, n1: int, bt: int, n_polys: int,
                        in_planes: int, b8: bool = False, opt_lz: int = 0,
                        chunk: int = 0, mode: str = "relin",
-                       bc: bool = False, bc_interp: bool = False):
+                       bc: bool = False, bc_interp: bool = False,
+                       swpipe: bool = False):
     """Merged forward NTT + key-switch accumulate + final add, one cell.
 
     mode="relin" (pipeline.build_mul_relin_step):
@@ -565,7 +575,7 @@ def _relin_tail_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
             row_outs[base + i] = (out[0][i * n1 : (i + 1) * n1],
                                   out[1][i * n1 : (i + 1) * n1])
 
-    _emit_chunks(chunks, first, mid, last, _swpipe_on())
+    _emit_chunks(chunks, first, mid, last, swpipe)
 
     def row(q, r):
         return row_outs[(q - t_start) * bt + r]
@@ -663,8 +673,10 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
         c = (budget - fixed) // per_row
         return rows_ if c >= rows_ else max(0, c)
 
+    rows_all = (n_polys - t_start) * bt
     if chunk_env:
         chunk = int(chunk_env)
+        swpipe = _swpipe_on() and 0 < chunk < rows_all
     else:
         # shrink bt before chunking below 2 rows per dot (tiny dots waste
         # the MXU; measured in the r3 TINTT chunk sweep)
@@ -672,16 +684,20 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
             bt -= 1
             while batch % bt:
                 bt -= 1
-        chunk = max(1, _auto_chunk(bt))
         rows_all = (n_polys - t_start) * bt
-        if _swpipe_on() and chunk >= rows_all:
+        chunk = max(1, _auto_chunk(bt))
+        # elective split only (see _swpipe_on caveat): a VMEM-forced
+        # chunk stays sequential
+        swpipe = _swpipe_on() and chunk >= rows_all
+        if swpipe:
             chunk = (rows_all + 1) // 2
     grid = (k, batch // bt)
     a2 = 8 if b8 else 9
 
     kernel = partial(_relin_tail_kernel, n1=n1, bt=bt, n_polys=n_polys,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
-                     chunk=chunk, mode=mode, bc=bc, bc_interp=interpret)
+                     chunk=chunk, mode=mode, bc=bc, bc_interp=interpret,
+                     swpipe=swpipe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -720,7 +736,7 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
                         o_ref, *, n1: int, bt: int, in_planes: int,
                         b8: bool = False, opt_lz: int = 0,
                         chunk: int = 0, bc: bool = False,
-                        bc_interp: bool = False):
+                        bc_interp: bool = False, swpipe: bool = False):
     """Fused tensor product + inverse NTT for one (limb, batch-tile) cell.
 
     x_ref: (4, bt, 1, 2, n1, 128) NTT-domain extended operands
@@ -832,7 +848,7 @@ def _tensor_intt_kernel(scal_ref, x_ref, msub_ref, tw_ref, mlane_ref,
             row_outs[base + i] = (out[0][:, i * 128 : (i + 1) * 128],
                                   out[1][:, i * 128 : (i + 1) * 128])
 
-    _emit_chunks(chunks, first, mid, last, _swpipe_on())
+    _emit_chunks(chunks, first, mid, last, swpipe)
     o_ref[...] = jnp.stack(
         [
             jnp.stack([row_outs[r][0] for r in range(rows)], axis=0),
@@ -876,6 +892,7 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     chunk_env = _os.environ.get("TPUFHE_TINTT_CHUNK", "")
     if chunk_env:
         chunk = int(chunk_env)
+        swpipe = _swpipe_on() and 0 < chunk < 3 * bt
     else:
         while not forced and bt > 1 and _auto_chunk(bt) < 2:
             bt -= 1
@@ -883,15 +900,19 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
                 bt -= 1
         auto = _auto_chunk(bt)
         chunk = 0 if auto >= 3 * bt else max(1, auto)
-        if _swpipe_on() and (chunk == 0 or chunk >= 3 * bt):
-            # split into two pipelined chains; the live plane scratch is
-            # ~the single-dot form's (chunk i+1 stage-1 planes + chunk i
-            # stage-2 planes vs one full-size plane buffer)
+        # pipeline only when the split is ELECTIVE (whole row batch fits
+        # VMEM): two pipelined half-chunks cost ~the single-dot form's
+        # live scratch. A VMEM-forced chunk stays sequential — pipelining
+        # doubles its live planes and overflows the scope (the round-4
+        # mulrelin16384 HTTP-500 repro).
+        swpipe = _swpipe_on() and chunk == 0
+        if swpipe:
             chunk = (3 * bt + 1) // 2
     grid = (k, batch // bt)
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
-                     chunk=chunk, bc=bc, bc_interp=interpret)
+                     chunk=chunk, bc=bc, bc_interp=interpret,
+                     swpipe=swpipe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1053,14 +1074,21 @@ def _mxu4_call(n1: int, k: int, batch: int, in_planes: int, lazy: bool,
     forced_ck = _os.environ.get("TPUFHE_MXU4_CHUNK", "")
     if forced_ck:
         chunk = int(forced_ck)
+        swpipe = _swpipe_on() and 0 < chunk < bt
     elif _swpipe_on() and bt >= 2:
+        # elective split: _pick_bt budgeted the whole tile, and two
+        # pipelined half-chunks cost ~the same live scratch as its
+        # single-dot form
         chunk = (bt + 1) // 2
+        swpipe = True
     else:
         chunk = 0
+        swpipe = False
 
     kernel = partial(_mxu4_kernel, n1=n1, bt=bt, in_planes=in_planes,
                      lazy=lazy, inverse=inverse, b8=b8, opt_lz=opt_lz,
-                     bc=bc, bc_interp=interpret, chunk=chunk)
+                     bc=bc, bc_interp=interpret, chunk=chunk,
+                     swpipe=swpipe)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

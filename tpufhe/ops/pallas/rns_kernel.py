@@ -58,6 +58,32 @@ def _balanced_base256(x: int, n: int) -> list[int]:
     return digs
 
 
+def _fits_balanced(x: int, n: int) -> bool:
+    """Whether a signed integer has an exact n-digit balanced base-256
+    representation. NOT simply |x| < 2^(8n-1): the balanced range is
+    asymmetric (sum of d_i*256^i with d_i in [-128, 127])."""
+    x = int(x)
+    for _ in range(n):
+        d = ((x + 128) % 256) - 128
+        x = (x - d) >> 8
+    return x == 0
+
+
+def _bc_thetas_fit(scaler) -> bool:
+    """Gate for the balanced-byte scaler constants: every theta consumed
+    by build_scaler_consts_bc must fit _BC_THETA_DIGITS balanced digits
+    (theta_omega enters negated when its sign flag is set). Thetas are
+    ~2^127 fixed-point values, and the balanced 16-digit range tops out
+    just UNDER 2^127 — some parameter sets (hit by the round-4 mbfv
+    bench at N=4096/L=2) overflow it, so this is checked, not assumed;
+    overflow falls back to the 7-bit kernel (bit-identical results)."""
+    vals = list(scaler.theta_garner)
+    if not scaler.factor.is_one:
+        for x, sgn in zip(scaler.theta_omega, scaler.theta_omega_sign):
+            vals.append(-int(x) if sgn else int(x))
+    return all(_fits_balanced(v, _BC_THETA_DIGITS) for v in vals)
+
+
 def build_scaler_consts_bc(scaler, starting_index: int, size: int, st: int):
     """Balanced-byte (bitcast-extract) variant of build_scaler_consts.
 
@@ -532,6 +558,7 @@ def rns_scale_pallas(x, scaler, starting_index: int, size: int,
                 for q in scaler.to_ctx.moduli[
                     starting_index : starting_index + size])
         and all(q.p < (1 << 62) for q in scaler.from_ctx.moduli)
+        and _bc_thetas_fit(scaler)
     )
     key = (starting_index, size, in_planes, bcs)
     cache = getattr(scaler, "_pallas_consts", None)
