@@ -865,9 +865,14 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     import os as _os
 
     forced = _os.environ.get("TPUFHE_TINTT_BT", "")
-    # bt=4 with two pipelined chunks measured 6,643 vs bt=2's 6,609 (v5e
-    # N=8192/L=3/B=64 sweep, benches/logs/sweep_r4c); bt=2 when sequential
-    bt = int(forced) if forced else (4 if _swpipe_on() else 2)
+    # Hardware-anchored defaults (the analytic VMEM model misjudges the
+    # double-buffered block cost in both directions at the extremes):
+    # n1 <= 64 (N <= 8192): bt=4 + pipelined chunk=4 PROVEN on v5e at
+    # N=8192/L=3/B=64 (6,643 vs bt=2's 6,609, no OOM). n1 > 64: bt=4
+    # OOMs the 16 MiB scope at N=16384 (16.77M, round-4 repro) — keep
+    # the r4a-proven bt=2 + sequential auto-chunk.
+    swp = _swpipe_on() and n1 <= 64
+    bt = int(forced) if forced else (4 if swp else 2)
     bt = min(bt, batch)
     while batch % bt:
         bt -= 1
@@ -893,6 +898,9 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     if chunk_env:
         chunk = int(chunk_env)
         swpipe = _swpipe_on() and 0 < chunk < 3 * bt
+    elif swp:
+        # the hardware-proven pipelined point (three 4-row chains)
+        chunk, swpipe = 4, True
     else:
         while not forced and bt > 1 and _auto_chunk(bt) < 2:
             bt -= 1
@@ -900,14 +908,10 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
                 bt -= 1
         auto = _auto_chunk(bt)
         chunk = 0 if auto >= 3 * bt else max(1, auto)
-        # pipeline only when the split is ELECTIVE (whole row batch fits
-        # VMEM): two pipelined half-chunks cost ~the single-dot form's
-        # live scratch. A VMEM-forced chunk stays sequential — pipelining
-        # doubles its live planes and overflows the scope (the round-4
-        # mulrelin16384 HTTP-500 repro).
-        swpipe = _swpipe_on() and chunk == 0
-        if swpipe:
-            chunk = (3 * bt + 1) // 2
+        # sequential emission here: a VMEM-forced chunk must not be
+        # pipelined (two live chunks overflow the scope — the round-4
+        # mulrelin16384 HTTP-500 repro)
+        swpipe = False
     grid = (k, batch // bt)
     kernel = partial(_tensor_intt_kernel, n1=n1, bt=bt,
                      in_planes=in_planes, b8=b8, opt_lz=opt_lz,
