@@ -356,22 +356,31 @@ def bench_dot_product(iters, count=128, degree=8192,
 
     db = jax.device_put(jnp.asarray(db))
 
-    @jax.jit
-    def step(e0, e1, db):
-        r0, r1 = dot(e0, e1, db)  # (m=1, B=1, k, 2, S, L)
-        n0 = (Poly(ctx, NTT, e0) + Poly(ctx, NTT, r0)).coeffs
-        n1 = (Poly(ctx, NTT, e1) + Poly(ctx, NTT, r1)).coeffs
-        return n0, n1
+    inner = int(os.environ.get("BENCH_INNER_DOT", 8))
 
-    out = step(e0, e1, db)
+    @jax.jit
+    def prog(e0, e1, db):
+        # `inner` chained dots inside ONE program (CLAUDE.md bench
+        # methodology: per-dispatch tunnel latency is ~10 ms and the
+        # runtime memoizes repeated executions, so per-call loops
+        # measure dispatch, not kernels)
+        def body(_, c):
+            e0, e1 = c
+            r0, r1 = dot(e0, e1, db)  # (m=1, B=1, k, 2, S, L)
+            n0 = (Poly(ctx, NTT, e0) + Poly(ctx, NTT, r0)).coeffs
+            n1 = (Poly(ctx, NTT, e1) + Poly(ctx, NTT, r1)).coeffs
+            return n0, n1
+        return jax.lax.fori_loop(0, inner, body, (e0, e1))
+
+    out = prog(e0, e1, db)
     _sync(out)
     x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1 = step(x0, x1, db)
+        x0, x1 = prog(x0, x1, db)
     _sync(x0, x1)
     dt = time.perf_counter() - t0
-    ops = iters / dt
+    ops = iters * inner / dt
     _emit(f"bfv_dot_product_{count}_n{degree}_l{n_limbs}", ops,
           "dot_products/s/chip", pairs=count)
     return ops
