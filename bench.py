@@ -19,7 +19,7 @@ runtime's execution memoization; a tiny device->host fetch synchronizes.
 
 Env knobs: BENCH_DEGREE/BENCH_LIMBS/BENCH_LIMB_BITS/BENCH_BATCH/
 BENCH_ITERS override the headline config; BENCH_ONLY=3 runs only the
-headline; BENCH_BUDGET_S caps aux-config time (default 2400).
+headline; BENCH_BUDGET_S caps aux-config time (default 1500).
 """
 
 from __future__ import annotations
@@ -156,7 +156,9 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
     extra = {}
     if vs_baseline:
         extra["vs_baseline"] = round(ops / (1e6 / 16), 4)
-    _emit(metric, ops, "ciphertext_mul+relin/s/chip", batch=batch, **extra)
+    _emit(metric, ops, "ciphertext_mul+relin/s/chip", batch=batch,
+          methodology=f"chained-inner-{inner}", includes_sampling=False,
+          **extra)
     return ops
 
 
@@ -215,7 +217,10 @@ def bench_enc_dec(batch, iters, inner=None):
     dt = time.perf_counter() - t0
     ops = batch * iters * inner / dt
     _emit("bfv_encrypt_decrypt_roundtrip_n2048_l1", ops,
-          "enc+dec_roundtrips/s/chip", batch=batch)
+          "enc+dec_roundtrips/s/chip", batch=batch,
+          methodology=f"chained-inner-{inner}", includes_sampling=False,
+          measures="device arithmetic core: NTT/pointwise/phase+t-q scale; "
+                   "host-side sampling and final mod-t fold excluded")
     return ops
 
 
@@ -291,7 +296,8 @@ def bench_rotate(batch, iters, inner=None):
     dt = time.perf_counter() - t0
     ops = batch * iters * inner / dt
     _emit("bfv_rotate_columns_n8192_l4", ops, "rotations/s/chip",
-          batch=batch)
+          batch=batch, methodology=f"chained-inner-{inner}",
+          includes_sampling=False)
     return ops
 
 
@@ -382,7 +388,8 @@ def bench_dot_product(iters, count=128, degree=8192,
     dt = time.perf_counter() - t0
     ops = iters * inner / dt
     _emit(f"bfv_dot_product_{count}_n{degree}_l{n_limbs}", ops,
-          "dot_products/s/chip", pairs=count)
+          "dot_products/s/chip", pairs=count,
+          methodology=f"chained-inner-{inner}", includes_sampling=False)
     return ops
 
 
@@ -539,7 +546,7 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", 64))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     only = os.environ.get("BENCH_ONLY", "")
-    budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
+    budget = float(os.environ.get("BENCH_BUDGET_S", 1500))
 
     start = time.time()
 
@@ -562,6 +569,7 @@ def main():
     headline = dict(_LAST)
 
     if only != "3":
+      try:
         for name, fn in (
             ("encdec", lambda: bench_enc_dec(batch=batch, iters=iters)),
             ("addptmul", lambda: bench_add_ptmul(batch=batch, iters=iters)),
@@ -598,8 +606,8 @@ def main():
                           retried=True, error=str(e)[:160])
         if os.environ.get("BENCH_SCALING", "1") == "1" and within_budget():
             bench_scaling()
-
-        # re-emit the headline as the final line
+      finally:
+        # re-emit the headline as the final line, unconditionally
         print(json.dumps(headline), flush=True)
 
 

@@ -47,12 +47,13 @@ BATCH = 2
 
 @pytest.fixture(scope="module")
 def setup():
-    # wide 62-bit limbs, n1=4 (degree 512 over 4 seq shards: the N=1024/
-    # 8-shard config cold-compiled ~3 h on a 1-core host, VERDICT r2 item
-    # 8); t=12289 = 1 mod 1024 so SIMD encoding works
+    # wide 62-bit limbs, n1=2 (degree 256 over 2 seq shards — the
+    # cheapest shape that exercises the distributed NTT's all_to_all;
+    # VERDICT r4 item 1: cold compiles must fit a driver budget);
+    # t=12289 = 1 mod 512 so SIMD encoding works
     par = (
         BfvParametersBuilder()
-        .set_degree(512)
+        .set_degree(256)
         .set_plaintext_modulus(12289)
         .set_moduli_sizes([62, 62])
         .build()
@@ -65,8 +66,8 @@ def setup():
     vas, vbs, cts = [], [], []
     with jax.disable_jit():  # cheap eager encrypt; avoids two compiles
         for _ in range(BATCH):
-            va = RNG.integers(0, t, size=512, dtype=np.uint64)
-            vb = RNG.integers(0, t, size=512, dtype=np.uint64)
+            va = RNG.integers(0, t, size=par.degree(), dtype=np.uint64)
+            vb = RNG.integers(0, t, size=par.degree(), dtype=np.uint64)
             ca = sk.try_encrypt(Plaintext.try_encode(va, Encoding.simd(), par), r)
             cb = sk.try_encrypt(Plaintext.try_encode(vb, Encoding.simd(), par), r)
             vas.append(va)
@@ -99,7 +100,7 @@ def _check(par, sk, vas, vbs, out0, out1):
 
 def test_seq_sharded_mul_relin_end_to_end(setup):
     par, sk, rk, vas, vbs, arrs = setup
-    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("seq",))
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("seq",))
     seq_fn = make_seq_sharded_mul_relin(par, rk, mesh)
     s0, s1 = seq_fn(*arrs)
     _check(par, sk, vas, vbs, s0, s1)

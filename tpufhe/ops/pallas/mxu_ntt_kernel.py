@@ -676,7 +676,10 @@ def _relin_tail_call(n1: int, k: int, batch: int, n_polys: int,
     rows_all = (n_polys - t_start) * bt
     if chunk_env:
         chunk = int(chunk_env)
-        swpipe = _swpipe_on() and 0 < chunk < rows_all
+        # pipeline only when ELECTIVE: two live chunks of scratch must
+        # fit the VMEM budget; a VMEM-forced chunk stays sequential
+        swpipe = (_swpipe_on() and 0 < chunk < rows_all
+                  and _auto_chunk(bt) >= min(rows_all, 2 * chunk))
     else:
         # shrink bt before chunking below 2 rows per dot (tiny dots waste
         # the MXU; measured in the r3 TINTT chunk sweep)
@@ -897,9 +900,15 @@ def _tensor_intt_call(n1: int, k: int, batch: int, in_planes: int,
     chunk_env = _os.environ.get("TPUFHE_TINTT_CHUNK", "")
     if chunk_env:
         chunk = int(chunk_env)
-        swpipe = _swpipe_on() and 0 < chunk < 3 * bt
-    elif swp:
-        # the hardware-proven pipelined point (three 4-row chains)
+        # pipeline only when ELECTIVE (two live chunks fit VMEM); a
+        # VMEM-forced chunk must stay sequential — the round-4
+        # mulrelin16384 OOM repro
+        swpipe = (_swpipe_on() and 0 < chunk < 3 * bt
+                  and _auto_chunk(bt) >= min(3 * bt, 2 * chunk))
+    elif swp and _auto_chunk(bt) >= min(3 * bt, 8):
+        # the hardware-proven pipelined point (three 4-row chains); the
+        # guard keeps two live 4-row chunks inside the VMEM budget even
+        # when bt was env-forced large (TPUFHE_TINTT_BT)
         chunk, swpipe = 4, True
     else:
         while not forced and bt > 1 and _auto_chunk(bt) < 2:

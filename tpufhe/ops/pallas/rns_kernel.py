@@ -45,16 +45,23 @@ _BC_DATA_PLANES = 8  # canonical residues < 2^62: eight byte planes
 _BC_FOLD_K = 1 << 21  # per-row fold offset; |c_row| <= 8*k_in*128^2 < 2^21
 
 
-def _balanced_base256(x: int, n: int) -> list[int]:
-    """Exact balanced base-256 digits (each in [-128, 127]) of a signed
-    integer; asserts |x| is representable in n digits."""
+def _balanced_digits(x: int, n: int) -> tuple[list[int], int]:
+    """n balanced base-256 digits (each in [-128, 127]) of a signed
+    integer, plus the residual left after n digits (0 iff exact)."""
     x = int(x)
     digs = []
     for _ in range(n):
         d = ((x + 128) % 256) - 128
         digs.append(d)
         x = (x - d) >> 8
-    assert x == 0, "value does not fit in balanced base-256 digits"
+    return digs, x
+
+
+def _balanced_base256(x: int, n: int) -> list[int]:
+    """Exact balanced base-256 digits of a signed integer; asserts |x|
+    is representable in n digits."""
+    digs, rem = _balanced_digits(x, n)
+    assert rem == 0, "value does not fit in balanced base-256 digits"
     return digs
 
 
@@ -62,11 +69,7 @@ def _fits_balanced(x: int, n: int) -> bool:
     """Whether a signed integer has an exact n-digit balanced base-256
     representation. NOT simply |x| < 2^(8n-1): the balanced range is
     asymmetric (sum of d_i*256^i with d_i in [-128, 127])."""
-    x = int(x)
-    for _ in range(n):
-        d = ((x + 128) % 256) - 128
-        x = (x - d) >> 8
-    return x == 0
+    return _balanced_digits(x, n)[1] == 0
 
 
 def _bc_thetas_fit(scaler) -> bool:
