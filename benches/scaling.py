@@ -20,16 +20,14 @@ import time
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 n_dev = int(os.environ.get("SCALING_DEVICES", 8))
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    flags += f" --xla_force_host_platform_device_count={n_dev}"
-if "xla_backend_optimization_level" not in flags:
-    flags += (" --xla_backend_optimization_level=0"
-              " --xla_llvm_disable_expensive_passes=true"
-              " --xla_cpu_use_thunk_runtime=false")
-os.environ["XLA_FLAGS"] = flags.strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# canonical CPU-mesh flags (single source of truth; includes the
+# jaxlib-0.9 fusion-emitter mitigation — see tpufhe/hostflags.py)
+from tpufhe.hostflags import apply_cpu_mesh_flags  # noqa: E402
+
+apply_cpu_mesh_flags(n_dev)
 
 import numpy as np  # noqa: E402
 

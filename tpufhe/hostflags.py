@@ -41,6 +41,14 @@ CPU_MESH_BASE_FLAGS = (
     "--xla_cpu_multi_thread_eigen=false",
     "--xla_cpu_collective_call_terminate_timeout_seconds=7200",
     "--xla_cpu_collective_timeout_seconds=7200",
+    # jaxlib 0.9's new CPU fusion emitters have a catastrophic codegen
+    # pathology on this package's bitcast+concatenate fusions: ONE fused
+    # kernel of the degree-64 mul+relin program executed for 29.5 s of
+    # pure CPU (xplane: bitcast_concatenate_fusion.15) and large programs
+    # never finished — this is what made the round-5 cold dryrun/tests
+    # hang at 100% CPU AFTER compiling. With the legacy emitters the same
+    # executable runs in milliseconds (measured 30 s -> 0.0 s).
+    "--xla_cpu_use_fusion_emitters=false",
 )
 
 

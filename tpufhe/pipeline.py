@@ -385,7 +385,8 @@ def _key_switch_batched(ctx, c2_pb, ksk_c0, ksk_c1, ntt_fwd=None,
 
 
 def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
-                         ntt_fwd=None, ntt_bwd=None, const_slice=None):
+                         ntt_fwd=None, ntt_bwd=None, const_slice=None,
+                         strategy2_primes: int | None = None):
     """Un-jitted (a0, a1, b0, b1) -> (c0, c1) multiply+relinearize step.
 
     Implements extend -> tensor -> down-scale (ops/mod.rs:259-341) followed
@@ -393,6 +394,22 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
     as one traceable function. `ntt_fwd`/`ntt_bwd` override the transform
     implementation (the sequence-sharded pipeline substitutes the
     distributed four-step NTT; see parallel/seq_pipeline.py).
+
+    strategy2_primes=kP selects the SECOND multiplication strategy of
+    eprint 2021/204 (shown in the reference's tests, ops/mul.rs:353-402):
+    lhs extends exactly (factor 1) into q (+) P with P a product of kP
+    fresh 62-bit primes, rhs is scaled by P/q into the same basis, and the
+    tensor is post-scaled by t/P. The key soundness fact (why P does NOT
+    need to exceed the ~2^388 tensor bound of the first strategy,
+    ROOFLINE.md round-3 audit): the tensor is only known mod q*P, but a
+    wrap of m*q*P changes round(t*C/P) by exactly t*m*q == 0 (mod q), so
+    wrapping is harmless for the t/P post-scale — unlike the default t/q
+    post-scale, where a wrap adds t*m*P != 0 (mod q). The cost is noise:
+    the rhs rounding error eps (|eps| <= 1/2 per coefficient) enters the
+    tensor as x1*eps and lands as ~N*t*q/(2P) noise, so P must satisfy
+    P >> N*t^2 * 2^(noise margin). Transform ledger: 42 + 7*kP
+    limb-transforms per op vs 64 for the default strategy (kP=1: 49,
+    kP=2: 56).
     """
     if ntt_fwd is None:
         ntt_fwd = ntt_forward_any
@@ -400,14 +417,35 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
         ntt_bwd = ntt_backward_any
     ctx_lvl = par.context_level_at(level)
     ctx = ctx_lvl.poly_context
-    mp = ctx_lvl.mul_params()
     ksk = rk.ksk
     assert ksk.ciphertext_level == level and ksk.ksk_level == level
-    ctx_mul = mp.extender.to_ctx
+    if strategy2_primes is None:
+        mp = ctx_lvl.mul_params()
+        ctx_mul = mp.extender.to_ctx
+        ext_rns = mp.extender.rns_scaler
+        rhs_rns = None
+        down_rns = mp.down_scaler.rns_scaler
+        assert mp.extender.number_common_moduli == ctx.k
+    else:
+        from tpufhe.ops.rq import Context as _Ctx, Scaler as _Scaler
+        from tpufhe.ops.rns import ScalingFactor as _SF
+        from tpufhe.utils.primes import generate_prime as _genp
+
+        basis = list(ctx.moduli)
+        upper = 1 << 62
+        p_prod = 1
+        while len(basis) != ctx.k + strategy2_primes:
+            upper = _genp(62, 2 * par.degree(), upper)
+            if upper not in basis:
+                basis.append(upper)
+                p_prod *= upper
+        ctx_mul = _Ctx(tuple(basis), par.degree())
+        q_prod = ctx.modulus()
+        ext_rns = _Scaler(ctx, ctx_mul, _SF.one()).rns_scaler
+        rhs_rns = _Scaler(ctx, ctx_mul, _SF(p_prod, q_prod)).rns_scaler
+        down_rns = _Scaler(
+            ctx_mul, ctx, _SF(par.plaintext.value, p_prod)).rns_scaler
     k, k_mul = ctx.k, ctx_mul.k
-    ext_rns = mp.extender.rns_scaler
-    down_rns = mp.down_scaler.rns_scaler
-    assert mp.extender.number_common_moduli == k
     tensor_m = _tensor_for(ctx_mul)
     _, add_c = _ops_for(ctx)
     ksk_c0, ksk_c1 = _ksk_consts(ksk)
@@ -427,10 +465,23 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
         x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
         # extend to the multiplication basis (ops/mod.rs:307-317)
         x_pb = ntt_bwd(ctx, x, in_bits=62)
-        new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
-        new_rows = ntt_fwd(ctx_mul, new_rows,
-                           limb_slice=slice(k, k_mul), in_bits=62)
-        ext = jnp.concatenate([x, new_rows], axis=-4)
+        if rhs_rns is None:
+            new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
+            new_rows = ntt_fwd(ctx_mul, new_rows,
+                               limb_slice=slice(k, k_mul), in_bits=62)
+            ext = jnp.concatenate([x, new_rows], axis=-4)
+        else:
+            # strategy 2: lhs keeps the factor-1 common-moduli fast path;
+            # rhs is scaled by P/q so ALL its mul-basis rows are fresh
+            lhs_new = ext_rns.scale(x_pb[:2], starting_index=k,
+                                    size=k_mul - k)
+            lhs_new = ntt_fwd(ctx_mul, lhs_new,
+                              limb_slice=slice(k, k_mul), in_bits=62)
+            lhs_ext = jnp.concatenate([x[:2], lhs_new], axis=-4)
+            rhs_rows = rhs_rns.scale(x_pb[2:], starting_index=0,
+                                     size=k_mul)
+            rhs_ext = ntt_fwd(ctx_mul, rhs_rows, in_bits=62)
+            ext = jnp.concatenate([lhs_ext, rhs_ext], axis=0)
 
         if tintt is not None:
             # fused tensor + down-scale iNTT (ops/mod.rs:318-332): the
@@ -466,10 +517,14 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
     return step
 
 
-def make_mul_relin(par: BfvParameters, rk, level: int = 0):
+def make_mul_relin(par: BfvParameters, rk, level: int = 0,
+                   strategy2_primes: int | None = None):
     """Jitted (a, b) -> a*b relinearized, on raw (..., k, 2, N) uint32
-    arrays, in ONE XLA program with exactly 5 Pallas NTT calls."""
-    return jax.jit(build_mul_relin_step(par, rk, level))
+    arrays, in ONE XLA program with exactly 5 Pallas NTT calls.
+    strategy2_primes selects the eprint 2021/204 second multiplication
+    strategy (see build_mul_relin_step)."""
+    return jax.jit(build_mul_relin_step(
+        par, rk, level, strategy2_primes=strategy2_primes))
 
 
 def make_square_relin(par: BfvParameters, rk, level: int = 0):
