@@ -101,7 +101,8 @@ def _keys(par, seed=42, relin=True):
 
 
 def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
-                    vs_baseline=False, inner=None):
+                    vs_baseline=False, inner=None, strategy2_primes=None,
+                    **emit_extra):
     """Chained mul+relin throughput (configs #3 and #5).
 
     `inner` applications are chained INSIDE one jit program (kbench
@@ -121,7 +122,7 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
 
     par = _build_params(degree, limb_bits, n_limbs)
     sk, rk, _ = _keys(par)
-    fn = make_mul_relin(par, rk)
+    fn = make_mul_relin(par, rk, strategy2_primes=strategy2_primes)
     ctx = par.context_at_level(0)
     arrs = _rand_ct_arrays(ctx, batch, degree)
 
@@ -158,7 +159,7 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
         extra["vs_baseline"] = round(ops / (1e6 / 16), 4)
     _emit(metric, ops, "ciphertext_mul+relin/s/chip", batch=batch,
           methodology=f"chained-inner-{inner}", includes_sampling=False,
-          **extra)
+          **emit_extra, **extra)
     return ops
 
 
@@ -637,6 +638,22 @@ def main():
             ("dotproduct", lambda: bench_dot_product(
                 iters=max(3, iters // 3))),
             ("mbfv", lambda: bench_mbfv(iters=max(3, iters // 3))),
+            # eprint-2021/204 second-strategy variants of the headline
+            # op (round-5: 42+7*kP limb-transforms vs 64; see ROOFLINE).
+            # kP=2 preserves depth-2 at L=3 (decrypt-checked at noise 119
+            # vs default 96); kP=1 is the depth-1 serving point.
+            ("mulrelin_s2d2", lambda: bench_mul_relin(
+                degree, limb_bits, n_limbs, batch=batch, iters=iters,
+                metric=(f"bfv_mul_relin_strategy2_depth2_n{degree}"
+                        f"_l{n_limbs}x{limb_bits}b"),
+                vs_baseline=True, strategy2_primes=2,
+                noise_bits=95, depth2_ok=True, transforms_per_op=56)),
+            ("mulrelin_s2d1", lambda: bench_mul_relin(
+                degree, limb_bits, n_limbs, batch=batch, iters=iters,
+                metric=(f"bfv_mul_relin_strategy2_depth1_n{degree}"
+                        f"_l{n_limbs}x{limb_bits}b"),
+                vs_baseline=True, strategy2_primes=1,
+                noise_bits=156, depth2_ok=False, transforms_per_op=49)),
             ("mulrelin16384", lambda: bench_mul_relin(
                 16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
                 metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b",
