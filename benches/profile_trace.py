@@ -39,7 +39,8 @@ def main():
     rng = ChaCha8Rng(seed_from_u64(42))
     sk = SecretKey.random(par, rng)
     rk = RelinearizationKey.new(sk, rng)
-    fn = make_mul_relin(par, rk)
+    s2 = int(os.environ.get("TPUFHE_TRACE_S2", "0")) or None
+    fn = make_mul_relin(par, rk, strategy2_primes=s2)
 
     from tpufhe.ops.rq import pack_u64
 
