@@ -318,18 +318,34 @@ def bench_inner_sum(batch, iters):
     ctx = par.context_at_level(0)
     c0, c1 = _rand_ct_arrays(ctx, batch, degree, count=2, seed=4)
 
-    out = fn(c0, c1)
+    import jax
+
+    inner = int(os.environ.get("BENCH_INNER_IS", 4))
+
+    # chain `inner` inner-sums inside ONE program (headline methodology):
+    # each is 13 fused rotations, but the ~10 ms per-call dispatch still
+    # dominated the unchained form (411/s recorded vs 660/s measured
+    # back-to-back in round 5)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def prog(c0, c1):
+        def body(_, c):
+            return fn(c[0], c[1])
+
+        return jax.lax.fori_loop(0, inner, body, (c0, c1))
+
+    out = prog(c0, c1)
     _sync(out)
     x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1 = fn(x0, x1)
+        x0, x1 = prog(x0, x1)
     _sync(x0, x1)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     nrot = (degree // 2 - 1).bit_length() + 1
     _emit("bfv_inner_sum_n8192_l4", ops, "inner_sums/s/chip",
-          batch=batch, rotations_each=nrot)
+          batch=batch, rotations_each=nrot,
+          methodology=f"chained-inner-{inner}", includes_sampling=False)
     return ops
 
 
@@ -569,6 +585,9 @@ def bench_sampling(batch, iters):
           measures="ChaCha8 CBD error + seeded uniform `a` expansion "
                    "per ciphertext, host-side")
     return rate
+
+
+def bench_scaling():
     """1 -> 8 virtual CPU device scaling (subprocess, cpu platform)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
