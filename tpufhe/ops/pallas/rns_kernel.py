@@ -369,23 +369,15 @@ def _scale_kernel_bc(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
     constant correction, and the omega fold is the NTT kernels' b8 fold.
     Bit-exact vs the 7-bit kernel and scale_host (all-integer, same
     values)."""
-    from tpufhe.ops.pallas.mxu_ntt_kernel import _bc_bytes, _fold_slices
-
-    if bc_interp:
-        def cast(v):
-            b = jax.lax.bitcast_convert_type(v, jnp.int8)  # (st, 128, 4)
-            return jnp.transpose(b, (0, 2, 1)).reshape(-1, v.shape[-1])
-    else:
-        def cast(v):
-            return pltpu.bitcast(v, jnp.int8)
+    cast = _bc_cast(bc_interp)
 
     cols_x = []
     for r in range(bt):
         blocks = []
         for i in range(k_in):
-            lo, hi = _bc_bytes(x_ref[r, i, 0], x_ref[r, i, 1])
-            blocks.append(cast(lo))
-            blocks.append(cast(hi))
+            lo, hi = _bc_bytes_cast(x_ref[r, i, 0], x_ref[r, i, 1], cast)
+            blocks.append(lo)
+            blocks.append(hi)
         cols_x.append(jnp.concatenate(blocks, axis=0))
     x1 = jnp.concatenate(cols_x, axis=1)  # (k_in*8*st, bt*128) i8
     c = jax.lax.dot_general(
@@ -396,7 +388,48 @@ def _scale_kernel_bc(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
     def crow(r):
         return c[r * st : (r + 1) * st]  # (st, bt*128) int32, signed
 
-    zero = jnp.zeros((st, bt * 128), jnp.uint32)
+    outs = _scale_core_bc(
+        crow, scal_ref, (st, bt * 128), size=size, rows_t=rows_t,
+        factor_one=factor_one, tg_shift=tg_shift,
+        tgamma_digits=tgamma_digits, tgamma_sign=tgamma_sign,
+        opt_lz=opt_lz)
+    for j, out in enumerate(outs):
+        for r in range(bt):
+            o_ref[r, j, 0] = out[0][:, r * 128 : (r + 1) * 128]
+            o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
+
+
+def _bc_cast(bc_interp: bool):
+    """int8 bitcast for the balanced-byte extract (interpret-safe form)."""
+    if bc_interp:
+        def cast(v):
+            b = jax.lax.bitcast_convert_type(v, jnp.int8)  # (st, 128, 4)
+            return jnp.transpose(b, (0, 2, 1)).reshape(-1, v.shape[-1])
+    else:
+        def cast(v):
+            return pltpu.bitcast(v, jnp.int8)
+    return cast
+
+
+def _bc_bytes_cast(lo, hi, cast):
+    """Balanced base-256 byte planes of a u64 pair, as two i8 blocks."""
+    from tpufhe.ops.pallas.mxu_ntt_kernel import _bc_bytes
+
+    blo, bhi = _bc_bytes(lo, hi)
+    return cast(blo), cast(bhi)
+
+
+def _scale_core_bc(crow, scal_ref, tile_shape, *, size: int, rows_t: int,
+                   factor_one: bool, tg_shift: int, tgamma_digits: tuple,
+                   tgamma_sign: bool, opt_lz: int = 0):
+    """The v/w/per-output-modulus accumulation of the balanced-byte HPS
+    scaler, operating on the int8 dot result via `crow(r)` -> (st, cols)
+    int32 rows. Returns [(lo, hi)] per output modulus j (canonical).
+    Shared (bit-identical arithmetic) by _scale_kernel_bc and the fused
+    iNTT+scale kernel (ops/pallas/intt_scale_kernel.py)."""
+    from tpufhe.ops.pallas.mxu_ntt_kernel import _fold_slices
+
+    zero = jnp.zeros(tile_shape, jnp.uint32)
     kofs = jnp.int32(_BC_FOLD_K)
 
     def fold_signed(rows, n_cols):
@@ -453,6 +486,7 @@ def _scale_kernel_bc(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
 
     # --- step 3: per-output-modulus accumulation (scalar consts) ---
     ofs = rows_t * (1 if factor_one else 2)
+    outs = []
     for j in range(size):
         p = (scal_ref[j, 0], scal_ref[j, 1])
         bl = (scal_ref[j, 2], scal_ref[j, 3])
@@ -485,10 +519,8 @@ def _scale_kernel_bc(scal_ref, x_ref, w_ref, o_ref, *, st: int, bt: int,
             lambda b: crow(ofs + b * size + j), (bl, bh, p),
             lazy=True, b8=True, opt_lz=opt_lz)
         acc128 = u64.mp_add(acc128, (o_term[0], o_term[1], zero, zero))
-        out = _red128(acc128)
-        for r in range(bt):
-            o_ref[r, j, 0] = out[0][:, r * 128 : (r + 1) * 128]
-            o_ref[r, j, 1] = out[1][:, r * 128 : (r + 1) * 128]
+        outs.append(_red128(acc128))
+    return outs
 
 
 @lru_cache(maxsize=None)

@@ -295,6 +295,30 @@ def _make_tensor_intt(ctx_mul, interpret: bool):
     return fused
 
 
+def _ext_fuse_on(ctx) -> tuple[bool, bool]:
+    """(enabled, interpret) for the fused extend iNTT+scale kernel
+    (pallas/intt_scale_kernel.py): the power-basis residues of the
+    extend stage never round-trip HBM between the inverse transform and
+    the HPS base conversion. OPT-IN (TPUFHE_EXT_FUSE=1; interpret mode
+    off-TPU for parity tests): the round-5 v5e A/B measured the fusion
+    ~3.4% SLOWER than the split launches on every strategy (default
+    6,640 -> 6,400; s2-kP1 8,075 -> 7,810/7,853 at bt 8/4) — holding all
+    k limbs' iNTT constants resident shrinks the batch tile to <= 8 rows
+    and forfeits the split iNTT kernel's bt=16 software-pipelined
+    chunks, which outweighs the saved HBM round trip. Kept as a
+    bit-exact measured-reject (tests/test_intt_scale.py)."""
+    import os
+
+    flag = os.environ.get("TPUFHE_EXT_FUSE", "")
+    if flag != "1" or ctx.narrow or ctx.degree < 1024 or ctx.degree % 128:
+        return False, False
+    try:
+        tpu = jax.default_backend() == "tpu"
+    except Exception:
+        tpu = False
+    return True, not tpu
+
+
 def _relin_tail_on(ctx) -> tuple[bool, bool]:
     """(enabled, interpret) for the fused relin-tail Pallas kernel
     (pallas/mxu_ntt_kernel.py relin_tail_pallas): the merged forward NTT,
@@ -461,25 +485,55 @@ def build_mul_relin_step(par: BfvParameters, rk, level: int = 0,
     tintt_on &= ntt_bwd is ntt_backward_any
     tintt = _make_tensor_intt(ctx_mul, tintt_interp) if tintt_on else None
 
+    # fused extend iNTT+scale (round 5): one launch computes the inverse
+    # transform of all input limbs AND the HPS base conversion per batch
+    # tile, replacing the ntt_bwd + scale pair
+    from tpufhe.ops.pallas.intt_scale_kernel import (
+        intt_scale_ok,
+        intt_scale_pallas,
+    )
+
+    extf_on, extf_interp = _ext_fuse_on(ctx)
+    extf_on &= ntt_bwd is ntt_backward_any and const_slice is None
+    ext_fused = rhs_fused = None
+    if extf_on and intt_scale_ok(ctx, ext_rns, k, k_mul - k):
+        ext_fused = partial(intt_scale_pallas, ctx=ctx, scaler=ext_rns,
+                            starting_index=k, size=k_mul - k,
+                            interpret=extf_interp)
+    if (extf_on and rhs_rns is not None
+            and intt_scale_ok(ctx, rhs_rns, 0, k_mul)):
+        rhs_fused = partial(intt_scale_pallas, ctx=ctx, scaler=rhs_rns,
+                            starting_index=0, size=k_mul,
+                            interpret=extf_interp)
+
     def step(a0, a1, b0, b1):
         x = jnp.stack([a0, a1, b0, b1])  # (4, ..., k, 2|1, S, L)
         # extend to the multiplication basis (ops/mod.rs:307-317)
-        x_pb = ntt_bwd(ctx, x, in_bits=62)
         if rhs_rns is None:
-            new_rows = ext_rns.scale(x_pb, starting_index=k, size=k_mul - k)
+            if ext_fused is not None:
+                new_rows = ext_fused(x)
+            else:
+                x_pb = ntt_bwd(ctx, x, in_bits=62)
+                new_rows = ext_rns.scale(x_pb, starting_index=k,
+                                         size=k_mul - k)
             new_rows = ntt_fwd(ctx_mul, new_rows,
                                limb_slice=slice(k, k_mul), in_bits=62)
             ext = jnp.concatenate([x, new_rows], axis=-4)
         else:
             # strategy 2: lhs keeps the factor-1 common-moduli fast path;
             # rhs is scaled by P/q so ALL its mul-basis rows are fresh
-            lhs_new = ext_rns.scale(x_pb[:2], starting_index=k,
-                                    size=k_mul - k)
+            if ext_fused is not None and rhs_fused is not None:
+                lhs_new = ext_fused(x[:2])
+                rhs_rows = rhs_fused(x[2:])
+            else:
+                x_pb = ntt_bwd(ctx, x, in_bits=62)
+                lhs_new = ext_rns.scale(x_pb[:2], starting_index=k,
+                                        size=k_mul - k)
+                rhs_rows = rhs_rns.scale(x_pb[2:], starting_index=0,
+                                         size=k_mul)
             lhs_new = ntt_fwd(ctx_mul, lhs_new,
                               limb_slice=slice(k, k_mul), in_bits=62)
             lhs_ext = jnp.concatenate([x[:2], lhs_new], axis=-4)
-            rhs_rows = rhs_rns.scale(x_pb[2:], starting_index=0,
-                                     size=k_mul)
             rhs_ext = ntt_fwd(ctx_mul, rhs_rows, in_bits=62)
             ext = jnp.concatenate([lhs_ext, rhs_ext], axis=0)
 
