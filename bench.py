@@ -116,9 +116,10 @@ def bench_mul_relin(degree, limb_bits, n_limbs, batch, iters, metric,
 
     if inner is None:
         # chaining more applications per program amortizes the ~10 ms
-        # tunnel dispatch: inner 16 -> 32 measured 5739 -> 5777 ops/s at
-        # N=8192/L=3/B=64 (r3 kernels)
-        inner = int(os.environ.get("BENCH_INNER", 32))
+        # tunnel dispatch: inner 16 -> 32 measured 5739 -> 5777 (r3);
+        # 32 -> 64 measured 6640 -> 6727 default / 8075 -> 8252 s2-kP1
+        # (r5; the fori body compiles once, so deeper chains are free)
+        inner = int(os.environ.get("BENCH_INNER", 64))
 
     par = _build_params(degree, limb_bits, n_limbs)
     sk, rk, _ = _keys(par)

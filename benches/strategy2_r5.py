@@ -33,7 +33,7 @@ def main():
     from tpufhe.pipeline import make_mul_relin
     from tpufhe.utils.rngs import ChaCha8Rng, seed_from_u64
 
-    degree, n_limbs, batch = 8192, 3, 64
+    degree, n_limbs, batch = 8192, 3, int(os.environ.get("BENCH_BATCH", 64))
     inner = int(os.environ.get("BENCH_INNER", 32))
     iters = int(os.environ.get("BENCH_ITERS", 10))
     kps = [int(a) for a in sys.argv[1:]] or [0, 1, 2]
