@@ -677,7 +677,7 @@ def main():
             ("mulrelin16384", lambda: bench_mul_relin(
                 16384, 62, 6, batch=max(4, batch // 8), iters=max(3, iters // 3),
                 metric="bfv_mul_relin_ops_per_s_per_chip_n16384_l6x62b",
-                inner=2)),
+                inner=8)),
             ("pir16384", lambda: bench_pir_response(
                 batch=max(2, batch // 16), iters=2)),
         ):
