@@ -181,7 +181,7 @@ def bench_enc_dec(batch, iters, inner=None):
     )
 
     if inner is None:
-        inner = int(os.environ.get("BENCH_INNER_ED", 16))
+        inner = int(os.environ.get("BENCH_INNER_ED", 256))
 
     degree = 2048
     par = _build_params(degree, 62, 1)
@@ -237,25 +237,33 @@ def bench_add_ptmul(batch, iters):
     ctx = par.context_at_level(0)
 
     a0, a1, b0, b1, w = _rand_ct_arrays(ctx, batch, degree, count=5, seed=2)
+    inner = int(os.environ.get("BENCH_INNER_AP", 64))
 
-    @jax.jit
     def step(a0, a1, b0, b1):
         pw = Poly(ctx, NTT, w)  # plaintext NTT poly (batched)
         o0 = (Poly(ctx, NTT, a0) + Poly(ctx, NTT, b0)) * pw
         o1 = (Poly(ctx, NTT, a1) + Poly(ctx, NTT, b1)) * pw
         return o0.coeffs, o1.coeffs
 
-    out = step(a0, a1, b0, b1)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def prog(a0, a1, b0, b1):
+        def body(_, c):
+            return step(c[0], c[1], b0, b1)
+
+        return jax.lax.fori_loop(0, inner, body, (a0, a1))
+
+    out = prog(a0, a1, b0, b1)
     _sync(out)
     x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1 = step(x0, x1, b0, b1)
+        x0, x1 = prog(x0, x1, b0, b1)
     _sync(x0, x1)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     _emit("bfv_simd_add_ptmul_n4096_l2", ops, "add+pt_mul/s/chip",
-          batch=batch)
+          batch=batch, methodology=f"chained-inner-{inner}",
+          includes_sampling=False)
     return ops
 
 
@@ -271,7 +279,7 @@ def bench_rotate(batch, iters, inner=None):
     from tpufhe.pipeline import make_rotate
 
     if inner is None:
-        inner = int(os.environ.get("BENCH_INNER_ROT", 8))
+        inner = int(os.environ.get("BENCH_INNER_ROT", 64))
 
     degree = 8192
     par = _build_params(degree, 62, 4)
@@ -321,7 +329,7 @@ def bench_inner_sum(batch, iters):
 
     import jax
 
-    inner = int(os.environ.get("BENCH_INNER_IS", 4))
+    inner = int(os.environ.get("BENCH_INNER_IS", 8))
 
     # chain `inner` inner-sums inside ONE program (headline methodology):
     # each is 13 fused rotations, but the ~10 ms per-call dispatch still
@@ -380,7 +388,7 @@ def bench_dot_product(iters, count=128, degree=8192,
 
     db = jax.device_put(jnp.asarray(db))
 
-    inner = int(os.environ.get("BENCH_INNER_DOT", 8))
+    inner = int(os.environ.get("BENCH_INNER_DOT", 32))
 
     @jax.jit
     def prog(e0, e1, db):
@@ -467,17 +475,34 @@ def bench_mbfv(iters, parties=11, batch=8, degree=4096,
         # chain: aggregated outputs feed the next round's ciphertext
         return pk0, phase.coeffs, d.coeffs
 
-    out = prog(c0, c1, s_raw, e_raw)
+    inner = int(os.environ.get("BENCH_INNER_MB", 4))
+
+    @jax.jit
+    def chained(c0, c1, s_raw, e_raw):
+        def body(_, c):
+            pk0, ph, d = prog(c[0], c[1], s_raw, e_raw)
+            # keep the t/q decryption scaler LIVE across the chain (a
+            # carry that drops `d` lets XLA dead-code-eliminate it):
+            # splice its limb row over pk0's first limb — still valid
+            # canonical residues
+            c0n = jnp.concatenate([d[..., :1, :, :, :],
+                                   pk0[..., 1:, :, :, :]], axis=-4)
+            return c0n, ph
+
+        return jax.lax.fori_loop(0, inner, body, (c0, c1))
+
+    out = chained(c0, c1, s_raw, e_raw)
     _sync(out)
-    x0, x1 = out[0], out[1]
+    x0, x1 = out
     t0 = time.perf_counter()
     for _ in range(iters):
-        x0, x1, d = prog(x0, x1, s_raw, e_raw)
-    _sync(x0, x1, d)
+        x0, x1 = chained(x0, x1, s_raw, e_raw)
+    _sync(x0, x1)
     dt = time.perf_counter() - t0
-    ops = batch * iters / dt
+    ops = batch * iters * inner / dt
     _emit(f"mbfv_keygen_plus_decrypt_n{degree}_l{n_limbs}", ops,
-          "collective_rounds/s/chip", batch=batch, parties=parties)
+          "collective_rounds/s/chip", batch=batch, parties=parties,
+          methodology=f"chained-inner-{inner}", includes_sampling=False)
     return ops
 
 
