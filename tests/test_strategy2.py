@@ -92,3 +92,26 @@ def test_strategy2_noise_vs_default(setup):
     q = par.context_at_level(0).modulus()
     pred = math.log2(64 * 257 * q / 2) - 62
     assert n_s2 <= max(n_def, pred) + 6, (n_def, n_s2, pred)
+
+
+def test_object_level_multiplicator_strategy2(setup):
+    """Multiplicator.strategy2 (object API) decrypts the SIMD product —
+    the reference's ops/mul.rs:353-402 pattern via a convenience
+    constructor with the noise-bound-sized P."""
+    from tpufhe.bfv import Ciphertext
+    from tpufhe.bfv.ops import Multiplicator
+
+    par, sk, rk, va, vb, arrs = setup
+    with jax.disable_jit():  # cheap eager at degree 64
+        m = Multiplicator.strategy2(rk, extension_primes=1)
+        ctx = par.context_at_level(0)
+        ca = Ciphertext(
+            par, [Poly(ctx, NTT, np.asarray(arrs[i])[0])
+                  for i in range(2)], 0)
+        cb = Ciphertext(
+            par, [Poly(ctx, NTT, np.asarray(arrs[i])[0])
+                  for i in range(2, 4)], 0)
+        ct = m.multiply(ca, cb)
+        got = np.asarray(sk.try_decrypt(ct).try_decode(Encoding.simd()))
+    want = ((va.astype(object) * vb.astype(object)) % 257).astype(np.uint64)
+    np.testing.assert_array_equal(got, want)

@@ -172,6 +172,39 @@ class Multiplicator:
         m.enable_relinearization(rk)
         return m
 
+    @staticmethod
+    def strategy2(rk, extension_primes: int = 2) -> "Multiplicator":
+        """The SECOND multiplication strategy of eprint 2021/204 (the
+        reference shows it test-side, ops/mul.rs:353-402): lhs extends
+        exactly (factor 1), rhs is scaled by P/q into q (+) P, and the
+        tensor is post-scaled by t/P. P is sized by the rhs-rounding
+        NOISE bound (~N*t*q/(2P)) rather than the integer-tensor bound —
+        a q*P tensor wrap shifts round(t*C/P) by t*m*q == 0 mod q (see
+        pipeline.build_mul_relin_step) — so 1-2 extension primes suffice
+        at moderate t. extension_primes=2 preserves depth-2 at L=3 for
+        the default-128 shapes; =1 is the depth-1 serving point
+        (ROOFLINE.md round-5 ledger: 8,231 vs 6,630 mul+relin/s)."""
+        par = rk.ksk.par
+        ctx = par.context_at_level(rk.ksk.ciphertext_level)
+        basis = list(ctx.moduli)
+        upper = 1 << 62
+        p_prod = 1
+        while len(basis) != ctx.k + extension_primes:
+            upper = generate_prime(62, 2 * par.degree(), upper)
+            if upper not in basis:
+                basis.append(upper)
+                p_prod *= upper
+        m = Multiplicator(
+            ScalingFactor.one(),
+            ScalingFactor(p_prod, ctx.modulus()),
+            basis,
+            ScalingFactor(par.plaintext.value, p_prod),
+            par,
+            rk.ksk.ciphertext_level,
+        )
+        m.enable_relinearization(rk)
+        return m
+
     def enable_relinearization(self, rk):
         rk_ctx = self.par.context_at_level(rk.ksk.ciphertext_level)
         if rk_ctx is not self.base_ctx:
