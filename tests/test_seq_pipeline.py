@@ -118,3 +118,15 @@ def test_seq_sharded_mul_relin_with_batch_axis(setup):
     seq_fn = make_seq_sharded_mul_relin(par, rk, mesh, batch_axis="batch")
     s0, s1 = seq_fn(*arrs)
     _check(par, sk, vas, vbs, s0, s1)
+
+
+def test_seq_sharded_strategy2(setup):
+    """The eprint-2021/204 second strategy composes with degree sharding:
+    every non-NTT stage (including the rhs P/q scaler) is coefficient-
+    local, so only the distributed NTTs communicate. End-to-end decrypt-
+    checked like the default-strategy test."""
+    par, sk, rk, vas, vbs, arrs = setup
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("seq",))
+    seq_fn = make_seq_sharded_mul_relin(par, rk, mesh, strategy2_primes=1)
+    s0, s1 = seq_fn(*arrs)
+    _check(par, sk, vas, vbs, s0, s1)

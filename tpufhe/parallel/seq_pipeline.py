@@ -108,7 +108,8 @@ class _SeqNtt:
 
 def make_seq_sharded_mul_relin(par: BfvParameters, rk, mesh: Mesh,
                                seq_axis: str = "seq", level: int = 0,
-                               batch_axis: str | None = None):
+                               batch_axis: str | None = None,
+                               strategy2_primes: int | None = None):
     """Multiply+relinearize with the DEGREE axis sharded over `seq`.
 
     Input/output arrays are lane-folded (B, k, 2, n1, 128) uint32 with n1
@@ -136,7 +137,8 @@ def make_seq_sharded_mul_relin(par: BfvParameters, rk, mesh: Mesh,
 
     step = build_mul_relin_step(par, rk, level,
                                 ntt_fwd=impl.fwd, ntt_bwd=impl.bwd,
-                                const_slice=const_slice)
+                                const_slice=const_slice,
+                                strategy2_primes=strategy2_primes)
 
     spec = P(batch_axis, None, None, seq_axis, None)
     sharded = shard_map(
